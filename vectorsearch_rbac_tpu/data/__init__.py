@@ -1,0 +1,3 @@
+from .datasets import synthetic_corpus, sift_like_corpus, load_sift_hdf5, load_sift10m
+
+__all__ = ["synthetic_corpus", "sift_like_corpus", "load_sift_hdf5", "load_sift10m"]

@@ -1,0 +1,143 @@
+"""Dataset ingestion and synthesis.
+
+Replaces the reference's Postgres ingestion pipeline
+(services/read_dataset_function.py:516 read_and_store_dataset_parallel):
+instead of batched SQL INSERTs, loading produces a `Corpus` ready for one
+HBM upload. Supported sources mirror the reference:
+
+- sift-128-euclidean HDF5 (reference read_and_store_dataset_parallel
+  services/read_dataset_function.py:366) — grouped into synthetic documents
+  of SIFT_DOCUMENT_VECTOR_COUNT vectors each (reference :27);
+- SIFT10M .mat via h5py (reference :465);
+- seeded synthetic corpora for tests and benchmarks (the wikipedia/arxiv
+  text+spaCy path has no TPU analog; synthetic embedding corpora stand in).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..core import Corpus
+
+# Reference groups 100 SIFT vectors per synthetic document
+# (services/read_dataset_function.py:27 SIFT_DOCUMENT_VECTOR_COUNT).
+SIFT_DOCUMENT_VECTOR_COUNT = 100
+
+
+def _group_into_documents(vectors: np.ndarray, blocks_per_doc: int) -> Corpus:
+    n = vectors.shape[0]
+    doc_ids = (np.arange(n) // blocks_per_doc).astype(np.int32)
+    block_ids = (np.arange(n) % blocks_per_doc).astype(np.int32)
+    return Corpus(vectors=np.ascontiguousarray(vectors, dtype=np.float32),
+                  doc_ids=doc_ids, block_ids=block_ids)
+
+
+def synthetic_corpus(
+    num_docs: int,
+    blocks_per_doc: int = 1,
+    dim: int = 128,
+    seed: int = 0,
+    distribution: str = "normal",
+) -> Corpus:
+    """Seeded synthetic corpus: `num_docs * blocks_per_doc` vectors."""
+    rng = np.random.default_rng(seed)
+    n = num_docs * blocks_per_doc
+    if distribution == "normal":
+        vecs = rng.standard_normal((n, dim), dtype=np.float32)
+    elif distribution == "uniform":
+        vecs = rng.random((n, dim), dtype=np.float32)
+    else:
+        raise ValueError(f"unknown distribution {distribution}")
+    return _group_into_documents(vecs, blocks_per_doc)
+
+
+def sift_like_corpus(
+    num_vectors: int = 1_000_000,
+    dim: int = 128,
+    blocks_per_doc: int = SIFT_DOCUMENT_VECTOR_COUNT,
+    seed: int = 0,
+) -> Tuple[Corpus, np.ndarray]:
+    """SIFT-shaped synthetic data: non-negative clipped int-valued features in
+    [0, 255], heavy mass near zero, like real SIFT descriptors. Returns
+    (corpus, query_pool) where query_pool is 10k held-out vectors.
+
+    Used when no sift-128-euclidean HDF5 file is available; recall numbers
+    remain meaningful because ground truth is always recomputed exactly.
+    """
+    rng = np.random.default_rng(seed)
+    total = num_vectors + 10_000
+    # lognormal-ish magnitudes clipped to the SIFT byte range
+    raw = rng.gamma(shape=1.2, scale=40.0, size=(total, dim)).astype(np.float32)
+    vecs = np.clip(np.floor(raw), 0, 255).astype(np.float32)
+    corpus = _group_into_documents(vecs[:num_vectors], blocks_per_doc)
+    return corpus, vecs[num_vectors:]
+
+
+def load_sift_hdf5(
+    path: str,
+    blocks_per_doc: int = SIFT_DOCUMENT_VECTOR_COUNT,
+    max_vectors: Optional[int] = None,
+) -> Tuple[Corpus, np.ndarray]:
+    """Load an ann-benchmarks style HDF5 file (sift-128-euclidean.hdf5):
+    datasets 'train' (base vectors) and 'test' (queries). Returns
+    (corpus, query_pool)."""
+    import h5py  # gated: present in most images; callers fall back to synthetic
+
+    with h5py.File(path, "r") as f:
+        train = np.asarray(f["train"], dtype=np.float32)
+        test = np.asarray(f["test"], dtype=np.float32)
+    if max_vectors is not None:
+        train = train[:max_vectors]
+    return _group_into_documents(train, blocks_per_doc), test
+
+
+def load_sift10m(
+    path: str,
+    blocks_per_doc: int = SIFT_DOCUMENT_VECTOR_COUNT,
+    max_vectors: Optional[int] = None,
+) -> Tuple[Corpus, np.ndarray]:
+    """Load SIFT10M 'fea' matrix from a v7.3 .mat file via h5py (reference
+    services/read_dataset_function.py:465 read_and_store_sift10m_dataset).
+    Holds out the last 10k rows as the query pool."""
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        fea = np.asarray(f["fea"], dtype=np.float32)
+    if fea.shape[0] < fea.shape[1]:  # MATLAB column-major storage
+        fea = fea.T
+    if max_vectors is not None:
+        fea = fea[: max_vectors + 10_000]
+    base, queries = fea[:-10_000], fea[-10_000:]
+    return _group_into_documents(base, blocks_per_doc), queries
+
+
+def resolve_dataset(
+    name: str,
+    dataset_path: str = "",
+    num_vectors: int = 1_000_000,
+    seed: int = 0,
+) -> Tuple[Corpus, np.ndarray]:
+    """Load a named dataset, falling back to a synthetic twin when the file
+    is absent (zero-egress environments)."""
+    if name in ("sift", "sift1m"):
+        for cand in (
+            os.path.join(dataset_path, "sift-128-euclidean.hdf5"),
+            dataset_path,
+        ):
+            if cand and os.path.isfile(cand):
+                return load_sift_hdf5(cand, max_vectors=num_vectors)
+        return sift_like_corpus(num_vectors=num_vectors, seed=seed)
+    if name == "sift10m":
+        cand = os.path.join(dataset_path, "SIFT10Mfeatures.mat")
+        if os.path.isfile(cand):
+            return load_sift10m(cand, max_vectors=num_vectors)
+        return sift_like_corpus(num_vectors=num_vectors, seed=seed)
+    if name == "synthetic":
+        corpus = synthetic_corpus(num_docs=num_vectors // SIFT_DOCUMENT_VECTOR_COUNT,
+                                  blocks_per_doc=SIFT_DOCUMENT_VECTOR_COUNT, seed=seed)
+        rng = np.random.default_rng(seed + 1)
+        return corpus, rng.standard_normal((10_000, corpus.dim)).astype(np.float32)
+    raise ValueError(f"unknown dataset {name}")
