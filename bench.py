@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Driver benchmark: RBAC-filtered vector search QPS on one TPU chip.
+
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Scenario (mirrors BASELINE.md): SIFT1M-shaped corpus (1M x 128-d, 100
+blocks/doc), tree-based RBAC (100 roles, 10k users), 1000 queries, top-100.
+The serving path is the fused role-bitmask scan (global index, bf16,
+approx per-block top-k); recall is measured against the exact float32
+oracle and must stay >= 0.95 for the headline number to count.
+
+Baseline: the best committed reference number — physical per-role HNSW
+partitions at 0.118 ms/query single-thread CPU => ~8470 QPS at recall 0.934
+(reference logical_partition_benchmark/benchmark/src/
+physical_role_partition_results.json; see BASELINE.md).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_QPS = 1000.0 / 0.118  # ~8474 QPS, physical role partition, CPU
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true", help="tiny fast run")
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--queries", type=int, default=1024)
+    ap.add_argument("--topk", type=int, default=100)
+    ap.add_argument("--strategy", default="rls",
+                    choices=["rls", "role", "user", "dynamic", "qdtree"])
+    ap.add_argument("--index", default="flat_approx",
+                    choices=["flat", "flat_approx", "ivf", "hnsw"])
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--block-rows", type=int, default=65536)
+    ap.add_argument("--dataset", default="sift1m")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    if args.smoke:
+        args.n = min(args.n, 100_000)
+        args.queries = min(args.queries, 256)
+
+    import jax
+
+    from vectorsearch_rbac_tpu.bench import (
+        GroundTruthOracle, generate_query_workload, run_benchmark,
+    )
+    from vectorsearch_rbac_tpu.core import build_device_arena
+    from vectorsearch_rbac_tpu.data import resolve_dataset
+    from vectorsearch_rbac_tpu.partition import build_searcher
+    from vectorsearch_rbac_tpu.rbac.generators import TreeRBACGenerator
+    from vectorsearch_rbac_tpu.utils.config import FrameworkConfig
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+
+    t0 = time.perf_counter()
+    corpus, query_pool = resolve_dataset(args.dataset, num_vectors=args.n, seed=args.seed)
+    log(f"corpus: {corpus.n} x {corpus.dim} ({corpus.num_docs} docs) "
+        f"in {time.perf_counter() - t0:.1f}s")
+
+    world = TreeRBACGenerator(
+        num_users=10_000, num_roles=100, num_docs=corpus.num_docs,
+        h=4, b0=3, b1=4, seed=args.seed,
+    ).generate()
+    log(f"world: {world.num_roles} roles, {len(world.combs)} combs, "
+        f"avg user selectivity {world.average_user_selectivity():.4f}")
+
+    cfg = FrameworkConfig(seed=args.seed)
+    cfg.search.block_rows = args.block_rows
+    cfg.search.batch_size = 256
+    cfg.search.topk = args.topk
+    cfg.search.dtype = args.dtype
+    cfg.index.kind = args.index
+
+    # serving arena (compute dtype) + float32 oracle arena
+    t0 = time.perf_counter()
+    arena = build_device_arena(corpus, world, block_rows=args.block_rows, dtype=args.dtype)
+    build_s = time.perf_counter() - t0
+    log(f"arena upload: {build_s:.2f}s ({arena.n_padded} rows, {args.dtype})")
+
+    gt_arena = arena if args.dtype == "float32" else build_device_arena(
+        corpus, world, block_rows=args.block_rows, dtype="float32")
+    oracle = GroundTruthOracle(gt_arena, cache_dir="artifacts",
+                               block_rows=args.block_rows, query_batch=256)
+
+    workload = generate_query_workload(
+        corpus, world, num_queries=args.queries, topk=args.topk,
+        zipf_param=0, query_pool=query_pool, seed=args.seed + 1,
+    )
+
+    t0 = time.perf_counter()
+    searcher = build_searcher(args.strategy, corpus, world, arena, cfg)
+    strat_build_s = time.perf_counter() - t0
+    log(f"strategy '{args.strategy}' build: {strat_build_s:.2f}s")
+
+    res = run_benchmark(searcher, corpus, world, workload, oracle,
+                        k=args.topk, warmup_runs=2, timed_batches=8,
+                        build_time_s=build_s + strat_build_s)
+    log(res.to_json())
+
+    build_per_1m = (build_s + strat_build_s) * (1_000_000 / max(corpus.n, 1))
+    detail = {
+        "recall": res.avg_recall,
+        "qps": res.qps,
+        "avg_ms": res.avg_query_time_ms,
+        "p95_ms": res.p95_ms,
+        "storage_mb": res.storage["total_mb"],
+        "build_s_per_1m": build_per_1m,
+        "strategy": args.strategy,
+        "index": args.index,
+        "n": corpus.n,
+    }
+    log("DETAIL " + json.dumps(detail))
+
+    ok = res.avg_recall >= 0.95
+    print(json.dumps({
+        "metric": "qps_per_chip_at_recall0.95_rbac_filtered_sift1m_top100",
+        "value": round(res.qps, 1) if ok else 0.0,
+        "unit": "qps",
+        "vs_baseline": round(res.qps / BASELINE_QPS, 2) if ok else 0.0,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -3,10 +3,17 @@ without TPU hardware (multi-chip is validated on a virtual mesh)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # tests run on a virtual CPU mesh
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# The axon TPU plugin's sitecustomize calls jax.config.update("jax_platforms",
+# "axon,cpu") at interpreter start, which overrides the env var — override it
+# back before any backend initializes so the 8 virtual CPU devices appear.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

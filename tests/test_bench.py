@@ -1,0 +1,75 @@
+import numpy as np
+import pytest
+
+from vectorsearch_rbac_tpu.bench import (
+    GroundTruthOracle,
+    generate_query_workload,
+    run_benchmark,
+)
+from vectorsearch_rbac_tpu.bench.ground_truth import compute_recall
+from vectorsearch_rbac_tpu.core import build_device_arena
+from vectorsearch_rbac_tpu.partition import build_searcher
+from vectorsearch_rbac_tpu.utils.config import FrameworkConfig
+
+
+def test_workload_generation(small_world, small_corpus):
+    wl = generate_query_workload(small_corpus, small_world, num_queries=20,
+                                 topk=5, zipf_param=0, seed=4)
+    assert wl.num_queries == 20
+    assert wl.vectors.shape == (20, small_corpus.dim)
+    assert np.all((wl.selectivities > 0) & (wl.selectivities <= 1))
+    wl2 = generate_query_workload(small_corpus, small_world, num_queries=20,
+                                  topk=5, zipf_param=0, seed=4)
+    np.testing.assert_array_equal(wl.user_ids, wl2.user_ids)
+    np.testing.assert_array_equal(wl.vectors, wl2.vectors)
+
+
+def test_workload_repetitions(small_world, small_corpus):
+    wl = generate_query_workload(small_corpus, small_world, num_queries=5,
+                                 topk=5, repetitions=3, seed=1)
+    assert wl.num_queries == 15
+    np.testing.assert_array_equal(wl.repetitions[:3], [0, 1, 2])
+    np.testing.assert_array_equal(wl.vectors[0], wl.vectors[1])
+
+
+def test_workload_json_roundtrip(tmp_path, small_world, small_corpus):
+    wl = generate_query_workload(small_corpus, small_world, num_queries=8, topk=5, seed=2)
+    p = tmp_path / "query_dataset.json"
+    wl.save_json(str(p))
+    wl2 = wl.load_json(str(p))
+    np.testing.assert_allclose(wl.vectors, wl2.vectors, rtol=1e-6)
+    np.testing.assert_array_equal(wl.user_ids, wl2.user_ids)
+
+
+def test_compute_recall():
+    got = np.array([[1, 2, 3], [4, 5, -1]])
+    want = np.array([[1, 2, 9], [4, 5, 6]])
+    assert compute_recall(got, want) == pytest.approx((2 / 3 + 2 / 3) / 2)
+
+
+def test_ground_truth_cache(tmp_path, small_world, small_corpus):
+    arena = build_device_arena(small_corpus, small_world, block_rows=128)
+    oracle = GroundTruthOracle(arena, cache_dir=str(tmp_path), block_rows=128,
+                               query_batch=16)
+    wl = generate_query_workload(small_corpus, small_world, num_queries=6, topk=5, seed=3)
+    t1 = oracle.compute(small_corpus, small_world, wl, 5)
+    files = list(tmp_path.glob("gt_*.npy"))
+    assert len(files) == 1
+    t2 = oracle.compute(small_corpus, small_world, wl, 5)
+    np.testing.assert_array_equal(t1, t2)
+
+
+def test_run_benchmark_end_to_end(tmp_path, small_world, small_corpus):
+    cfg = FrameworkConfig()
+    cfg.search.block_rows = 128
+    cfg.search.batch_size = 16
+    arena = build_device_arena(small_corpus, small_world, block_rows=128)
+    oracle = GroundTruthOracle(arena, cache_dir=str(tmp_path), block_rows=128, query_batch=16)
+    wl = generate_query_workload(small_corpus, small_world, num_queries=12, topk=5, seed=5)
+    searcher = build_searcher("role", small_corpus, small_world, arena, cfg)
+    res = run_benchmark(searcher, small_corpus, small_world, wl, oracle,
+                        warmup_runs=1, timed_batches=3)
+    assert res.avg_recall == 1.0  # exact index -> perfect recall
+    assert res.qps > 0
+    assert res.storage["num_partitions"] == small_world.num_roles
+    assert "avg_recall" in res.to_json()

@@ -1,0 +1,106 @@
+import numpy as np
+import pytest
+
+from vectorsearch_rbac_tpu.bench import generate_query_workload
+from vectorsearch_rbac_tpu.core import build_device_arena
+from vectorsearch_rbac_tpu.models.cost import CostModelParams
+from vectorsearch_rbac_tpu.partition import build_searcher
+from vectorsearch_rbac_tpu.partition.dynamic import (
+    PlannerInputs,
+    build_dynamic_searcher,
+    comb_weights_from_workload,
+    plan_dynamic_partitions,
+    single_role_weights_from_workload,
+    split_comb_roles,
+    validate_partition_coverage,
+)
+from vectorsearch_rbac_tpu.rbac.generators import RandomRBACGenerator, TreeRBACGenerator
+from vectorsearch_rbac_tpu.utils.config import FrameworkConfig
+
+
+def _inputs(world, alpha=2.0, weights=None, single=None):
+    return PlannerInputs(
+        role_to_docs=world.role_to_docs,
+        combs=world.combs,
+        comb_weights=weights or world.comb_weights,
+        single_role_weights=single or {r: 1.0 for r in range(world.num_roles)},
+        params=CostModelParams(),
+        alpha=alpha,
+        topk=10,
+    )
+
+
+@pytest.fixture(scope="module")
+def multi_role_world():
+    """Random RBAC gives multi-role users (combination mode gets exercised)."""
+    return RandomRBACGenerator(num_users=60, num_roles=10, num_docs=120,
+                               m_roles=3, m_perms=30, seed=5).generate()
+
+
+def test_split_respects_storage_budget(small_world):
+    inputs = _inputs(small_world, alpha=1.5)
+    plan = split_comb_roles(inputs)
+    total = sum(len(d) for d in plan.assignment.values())
+    # budget may be exceeded by at most the last split's documents
+    assert total <= 1.5 * small_world.num_docs + max(
+        len(d) for d in plan.assignment.values()
+    )
+    assert len(plan.assignment) >= 1
+
+
+def test_split_produces_multiple_partitions(small_world):
+    inputs = _inputs(small_world, alpha=2.5)
+    plan = split_comb_roles(inputs)
+    assert len(plan.assignment) > 1, "expected at least one split at alpha=2.5"
+
+
+def test_plan_coverage_invariant(small_world):
+    inputs = _inputs(small_world, alpha=2.0)
+    plan = plan_dynamic_partitions(small_world, inputs)
+    validate_partition_coverage(plan, inputs)  # must not raise
+    # reindexed pids are contiguous
+    assert sorted(plan.assignment.keys()) == list(range(len(plan.assignment)))
+
+
+def test_plan_coverage_multi_role(multi_role_world):
+    inputs = _inputs(multi_role_world, alpha=2.0)
+    plan = plan_dynamic_partitions(multi_role_world, inputs)
+    validate_partition_coverage(plan, inputs)
+    # every comb has at least one partition
+    for comb in multi_role_world.combs:
+        assert plan.trackers.get(comb), f"comb {comb} lost its partitions"
+
+
+def test_weights_from_workload(small_world, small_corpus):
+    wl = generate_query_workload(small_corpus, small_world, num_queries=30,
+                                 topk=5, seed=9)
+    cw = comb_weights_from_workload(small_world, wl)
+    sw = single_role_weights_from_workload(small_world, wl)
+    assert sum(cw.values()) > 0
+    assert all(w >= 0 for w in cw.values())
+    assert set(sw) == {r for c in small_world.combs for r in c}
+
+
+def test_dynamic_searcher_end_to_end(small_world, small_corpus):
+    cfg = FrameworkConfig()
+    cfg.search.block_rows = 128
+    cfg.search.batch_size = 16
+    cfg.optimizer.storage_alpha = 2.0
+    arena = build_device_arena(small_corpus, small_world, block_rows=128)
+    searcher = build_searcher("dynamic", small_corpus, small_world, arena, cfg)
+    assert searcher.name == "dynamic"
+
+    rng = np.random.default_rng(3)
+    q = rng.standard_normal((8, small_corpus.dim)).astype(np.float32)
+    users = rng.integers(0, small_world.num_users, 8)
+    d, ids = searcher.search_batch(q, users, small_world.user_masks, k=10)
+
+    # exact per-user oracle (dynamic partitions + exact index = full recall)
+    for qi in range(8):
+        uid = int(users[qi])
+        docs = small_world.user_docs(uid)
+        rows = small_corpus.rows_for_docs(np.fromiter(docs, dtype=np.int64, count=len(docs)))
+        dd = ((small_corpus.vectors[rows] - q[qi]) ** 2).sum(axis=1)
+        want = set(rows[np.argsort(dd, kind="stable")[:10]].tolist())
+        got = set(int(x) for x in ids[qi] if x >= 0)
+        assert got == want

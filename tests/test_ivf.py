@@ -1,0 +1,74 @@
+import numpy as np
+import pytest
+
+from vectorsearch_rbac_tpu.core import build_device_arena
+from vectorsearch_rbac_tpu.index.ivf import IVFIndex
+
+
+@pytest.fixture(scope="module")
+def ivf_setup(small_world, small_corpus):
+    arena = build_device_arena(small_corpus, small_world, block_rows=128)
+    idx = IVFIndex(arena, rows=None, nlist=16, nprobe=8, kmeans_iters=5,
+                   query_batch=16, seed=0)
+    return small_world, small_corpus, arena, idx
+
+
+def test_ivf_build(ivf_setup):
+    world, corpus, arena, idx = ivf_setup
+    assert idx.n_rows == corpus.n
+    # all rows present exactly once in the inverted file
+    rows = np.asarray(idx._inv_rows).ravel()
+    real = rows[rows >= 0]
+    assert len(real) == corpus.n
+    assert len(np.unique(real)) == corpus.n
+
+
+def test_ivf_full_probe_is_exact(ivf_setup):
+    """nprobe == nlist scans everything -> must equal brute force."""
+    world, corpus, arena, idx = ivf_setup
+    rng = np.random.default_rng(2)
+    q = rng.standard_normal((8, corpus.dim)).astype(np.float32)
+    users = rng.integers(0, world.num_users, 8)
+    masks = world.user_masks[users]
+    d, ids = idx.search(q, masks, k=10, nprobe=idx.nlist)
+    bits = np.asarray(arena.role_bits)[: corpus.n]
+    for qi in range(8):
+        allowed = (bits & masks[qi]).any(axis=1)
+        dd = ((corpus.vectors - q[qi]) ** 2).sum(axis=1)
+        dd[~allowed] = np.inf
+        want = set(np.argsort(dd, kind="stable")[:10].tolist())
+        got = set(int(x) for x in ids[qi] if x >= 0)
+        # near-tie flips allowed
+        assert len(want - got) <= 1
+
+
+def test_ivf_partial_probe_recall_and_permissions(ivf_setup):
+    world, corpus, arena, idx = ivf_setup
+    rng = np.random.default_rng(3)
+    # query near existing corpus points for meaningful recall
+    pick = rng.integers(0, corpus.n, 12)
+    q = corpus.vectors[pick] + 0.01 * rng.standard_normal((12, corpus.dim)).astype(np.float32)
+    users = rng.integers(0, world.num_users, 12)
+    masks = world.user_masks[users]
+    d, ids = idx.search(q, masks, k=5, nprobe=8)
+    bits = np.asarray(arena.role_bits)
+    hits = total = 0
+    for qi in range(12):
+        # permissions always enforced
+        for rid in ids[qi]:
+            if rid >= 0:
+                assert (bits[rid] & masks[qi]).any()
+        allowed = (bits[: corpus.n] & masks[qi]).any(axis=1)
+        dd = ((corpus.vectors - q[qi]) ** 2).sum(axis=1)
+        dd[~allowed] = np.inf
+        want = set(np.argsort(dd, kind="stable")[:5][np.isfinite(np.sort(dd)[:5])].tolist())
+        got = set(int(x) for x in ids[qi] if x >= 0)
+        hits += len(want & got)
+        total += len(want)
+    assert hits / max(total, 1) > 0.6  # half the lists probed
+
+
+def test_ivf_storage(ivf_setup):
+    _, _, _, idx = ivf_setup
+    sb = idx.storage_bytes()
+    assert sb["vectors"] > 0 and sb["index"] > 0

@@ -1,0 +1,107 @@
+"""Benchmark harness: warm-up, timed runs, recall + latency + storage.
+
+Replaces the reference's run_test / run_search_experiment
+(basic_benchmark/common_function.py:1194, :1321): optional warm-up passes,
+a timed pass, recall@k against the exact oracle, storage accounting, and a
+JSON report. Timing is wall clock around the full batched serving path
+(device scans + host merge) — the analog of the reference's
+"system" statistics mode; there is no EXPLAIN ANALYZE to parse because
+there is no SQL.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..core import Corpus
+from ..partition.base import PartitionedSearcher
+from ..rbac.world import RBACWorld
+from ..utils.logger import get_logger
+from .ground_truth import GroundTruthOracle, compute_recall
+from .queries import QueryWorkload
+
+logger = get_logger("harness")
+
+
+@dataclass
+class BenchmarkResult:
+    strategy: str
+    num_queries: int
+    topk: int
+    avg_recall: float
+    qps: float
+    avg_query_time_ms: float
+    p50_ms: float
+    p95_ms: float
+    p99_ms: float
+    avg_block_selectivity: float
+    storage: Dict[str, float]
+    build_time_s: float = 0.0
+    extra: Dict[str, float] = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+
+def run_benchmark(
+    searcher: PartitionedSearcher,
+    corpus: Corpus,
+    world: RBACWorld,
+    workload: QueryWorkload,
+    oracle: GroundTruthOracle,
+    k: Optional[int] = None,
+    warmup_runs: int = 2,      # reference warms every query twice (:1368-1375)
+    timed_batches: int = 8,    # latency percentiles measured over micro-batches
+    build_time_s: float = 0.0,
+) -> BenchmarkResult:
+    k = k or workload.topk
+    truth = oracle.compute(corpus, world, workload, k)
+
+    q, users = workload.vectors, workload.user_ids
+    masks = world.user_masks
+
+    for _ in range(warmup_runs):
+        searcher.search_batch(q, users, masks, k)
+
+    # throughput: one timed pass over the full workload
+    t0 = time.perf_counter()
+    dists, ids = searcher.search_batch(q, users, masks, k)
+    wall = time.perf_counter() - t0
+
+    # latency distribution: micro-batches of queries through the same path
+    nq = workload.num_queries
+    mb = max(1, nq // timed_batches)
+    batch_ms: List[float] = []
+    for s in range(0, nq, mb):
+        e = min(s + mb, nq)
+        t0 = time.perf_counter()
+        searcher.search_batch(q[s:e], users[s:e], masks, k)
+        batch_ms.append((time.perf_counter() - t0) / (e - s) * 1000.0)
+
+    recall = compute_recall(ids, truth)
+    res = BenchmarkResult(
+        strategy=searcher.name,
+        num_queries=nq,
+        topk=k,
+        avg_recall=recall,
+        qps=nq / wall,
+        avg_query_time_ms=wall / nq * 1000.0,
+        p50_ms=float(np.percentile(batch_ms, 50)),
+        p95_ms=float(np.percentile(batch_ms, 95)),
+        p99_ms=float(np.percentile(batch_ms, 99)),
+        avg_block_selectivity=float(np.mean(workload.selectivities)),
+        storage=searcher.storage_report(),
+        build_time_s=build_time_s,
+    )
+    logger.info(
+        "%s: recall@%d=%.4f qps=%.1f avg=%.3fms storage=%.1fMB",
+        res.strategy, k, res.avg_recall, res.qps, res.avg_query_time_ms,
+        res.storage.get("total_mb", 0),
+    )
+    return res

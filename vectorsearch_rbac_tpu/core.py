@@ -100,6 +100,10 @@ class DeviceArena:
     n: int              # valid rows
     doc_ids: np.ndarray   # host (N,) for result translation
     block_ids: np.ndarray
+    # host mirrors (float32) so partition builds gather without device pulls
+    host_vectors: Optional[np.ndarray] = None   # (Npad, d) float32
+    host_norms: Optional[np.ndarray] = None
+    host_bits: Optional[np.ndarray] = None
 
     @property
     def n_padded(self) -> int:
@@ -138,4 +142,7 @@ def build_device_arena(
         n=n,
         doc_ids=corpus.doc_ids,
         block_ids=corpus.block_ids,
+        host_vectors=vecs,
+        host_norms=norms,
+        host_bits=bits,
     )

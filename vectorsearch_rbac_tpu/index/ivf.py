@@ -1,0 +1,182 @@
+"""IVF-Flat index: k-means clustering + padded inverted lists.
+
+Replaces pgvector's IVFFlat access method (reference pgvector/src/
+ivfbuild.c, ivfkmeans.c, ivfscan.c; GUC ivfflat.probes) with a TPU-native
+layout: centroids fitted with the batched device k-means (ops/kmeans.py),
+rows bucketed into (nlist, L_pad) padded inverted lists so every probe is
+a static-shape gather + matmul. Padding slots carry zero role bits and
+row id -1, so the fused permission check rejects them for free.
+
+Oversized lists spill: rows beyond L_pad are reassigned to their
+next-nearest centroid with space (keeps exactness of membership while
+bounding padding waste).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from ..core import DeviceArena
+from ..ops.ivf_scan import ivf_search_fn
+from ..ops.kmeans import assign_clusters, kmeans_fit, kmeans_init
+from ..utils.logger import get_logger
+
+logger = get_logger("index.ivf")
+
+
+class IVFIndex:
+    def __init__(
+        self,
+        arena: DeviceArena,
+        rows: Optional[np.ndarray] = None,
+        nlist: int = 1024,
+        nprobe: int = 16,
+        kmeans_iters: int = 10,
+        query_batch: int = 256,
+        seed: int = 0,
+        pad_quantile: float = 0.995,
+        train_sample: int = 200_000,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        self.query_batch = query_batch
+        self.nprobe = nprobe
+
+        if arena.host_vectors is not None:
+            host_vec = arena.host_vectors
+            host_norm = arena.host_norms
+            host_bits = arena.host_bits
+        else:
+            host_vec = np.asarray(arena.vectors, dtype=np.float32)
+            host_norm = np.asarray(arena.norms)
+            host_bits = np.asarray(arena.role_bits)
+
+        if rows is None:
+            rows = np.arange(arena.n, dtype=np.int64)
+        else:
+            rows = np.asarray(rows, dtype=np.int64)
+        self.n_rows = len(rows)
+        vec = host_vec[rows]
+        d = vec.shape[1]
+
+        nlist = max(1, min(nlist, self.n_rows))
+        self.nlist = nlist
+        self.nprobe = min(nprobe, nlist)
+
+        # ---- train centroids on a sample, assign all rows
+        t0 = time.perf_counter()
+        rng = np.random.default_rng(seed)
+        sample = vec if len(vec) <= train_sample else vec[
+            rng.choice(len(vec), train_sample, replace=False)
+        ]
+        init = kmeans_init(sample, nlist, seed=seed)
+        centroids, _ = kmeans_fit(
+            jnp.asarray(sample), jnp.asarray(init), iters=kmeans_iters
+        )
+        self._centroids = centroids.astype(jnp.float32)
+        assign = np.asarray(assign_clusters(jnp.asarray(vec), self._centroids))
+        self.build_time_s = time.perf_counter() - t0
+
+        # ---- bucket rows into padded lists with spill to next centroid
+        counts = np.bincount(assign, minlength=nlist)
+        l_pad = int(np.quantile(counts, pad_quantile)) if nlist > 1 else int(counts[0])
+        l_pad = max(8, int(math.ceil(l_pad / 8) * 8))
+        cent_np = np.asarray(self._centroids)
+
+        list_rows: list[list[int]] = [[] for _ in range(nlist)]
+        spill: list[int] = []
+        for i, c in enumerate(assign.tolist()):
+            if len(list_rows[c]) < l_pad:
+                list_rows[c].append(i)
+            else:
+                spill.append(i)
+        if spill:
+            sv = vec[spill]
+            cd = (
+                np.einsum("nd,nd->n", sv, sv)[:, None]
+                - 2.0 * sv @ cent_np.T
+                + np.einsum("cd,cd->c", cent_np, cent_np)[None, :]
+            )
+            order = np.argsort(cd, axis=1)
+            for j, i in enumerate(spill):
+                placed = False
+                for c in order[j]:
+                    if len(list_rows[int(c)]) < l_pad:
+                        list_rows[int(c)].append(i)
+                        placed = True
+                        break
+                if not placed:  # every list full: grow padding once
+                    l_pad = int(l_pad * 1.25 + 8) // 8 * 8
+                    list_rows[int(order[j, 0])].append(i)
+        self.l_pad = l_pad
+
+        inv_vec = np.zeros((nlist, l_pad, d), dtype=np.float32)
+        inv_norm = np.zeros((nlist, l_pad), dtype=np.float32)
+        inv_bits = np.zeros((nlist, l_pad, host_bits.shape[1]), dtype=np.uint32)
+        inv_rows = np.full((nlist, l_pad), -1, dtype=np.int32)
+        for c, members in enumerate(list_rows):
+            m = len(members)
+            if not m:
+                continue
+            local = np.asarray(members, dtype=np.int64)
+            arena_ids = rows[local]
+            inv_vec[c, :m] = vec[local]
+            inv_norm[c, :m] = host_norm[arena_ids]
+            inv_bits[c, :m] = host_bits[arena_ids]
+            inv_rows[c, :m] = arena_ids.astype(np.int32)
+
+        compute_dtype = arena.vectors.dtype
+        self._inv_vectors = jax.device_put(inv_vec.astype(compute_dtype))
+        self._inv_norms = jax.device_put(inv_norm)
+        self._inv_bits = jax.device_put(inv_bits)
+        self._inv_rows = jax.device_put(inv_rows)
+        logger.info(
+            "IVF built: %d rows, nlist=%d, L_pad=%d (fill %.1f%%), %.2fs",
+            self.n_rows, nlist, l_pad,
+            100.0 * self.n_rows / (nlist * l_pad), self.build_time_s,
+        )
+
+    # ------------------------------------------------------------- search
+
+    def search(
+        self, queries: np.ndarray, query_masks: np.ndarray, k: int,
+        nprobe: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        import jax.numpy as jnp
+
+        nprobe = min(nprobe or self.nprobe, self.nlist)
+        q = np.asarray(queries, dtype=np.float32)
+        m = np.asarray(query_masks, dtype=np.uint32)
+        nq = q.shape[0]
+        out_d = np.empty((nq, k), dtype=np.float32)
+        out_i = np.empty((nq, k), dtype=np.int64)
+        bs = self.query_batch
+        for s in range(0, nq, bs):
+            e = min(s + bs, nq)
+            qb = np.zeros((bs, q.shape[1]), dtype=np.float32)
+            mb = np.zeros((bs, m.shape[1]), dtype=np.uint32)
+            qb[: e - s] = q[s:e]
+            mb[: e - s] = m[s:e]
+            d, i = ivf_search_fn(
+                jnp.asarray(qb), self._centroids, self._inv_vectors,
+                self._inv_norms, self._inv_bits, self._inv_rows,
+                jnp.asarray(mb), k, nprobe,
+            )
+            out_d[s:e] = np.asarray(d)[: e - s]
+            out_i[s:e] = np.asarray(i)[: e - s]
+        return out_d, out_i
+
+    # ------------------------------------------------------------ storage
+
+    def storage_bytes(self) -> Dict[str, int]:
+        d = self._inv_vectors.shape[2]
+        w = self._inv_bits.shape[2]
+        slots = self.nlist * self.l_pad
+        vec_bytes = slots * d * self._inv_vectors.dtype.itemsize
+        aux = slots * (4 + 4 * w + 4) + self.nlist * d * 4  # norms+bits+rows+centroids
+        return {"vectors": int(vec_bytes), "index": int(aux)}

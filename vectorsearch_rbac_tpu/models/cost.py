@@ -1,0 +1,121 @@
+"""Analytic recall and query-time models.
+
+These are the two fitted models at the heart of the AnonySys planner
+(HoneyBee paper eq. 8/9):
+
+- Recall vs search width (`ef`), selectivity `sel`, and `topk`
+  (reference controller/dynamic_partition/hnsw/helper.py:159-219
+  calculate_hnsw_recall): linear ramp `ef*sel/topk` up to the threshold
+  `k*topk/sel`, then a sigmoid saturating at `k + 0.5`:
+      recall = 1 / (1 + exp(-4*beta*sel/topk * (ef - threshold))) + (k - 0.5)
+
+- Query time vs partition size (reference helper.py:222-267
+  calculate_hnsw_role_avg_qps):
+      time = log(n_vectors) * (a*ef + b)    [+ join_time per partition]
+
+The inverse (ef needed for a target recall) is the planner's workhorse
+(reference AnonySys_dynamic_partition.py:134-152 compute_query_time).
+Parameters (k, beta, a, b) are fitted per index type by models.fitting —
+on-device sweeps replace the reference's EXPLAIN ANALYZE timing loops.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, Iterable, Mapping, Optional
+
+import numpy as np
+
+
+@dataclass
+class CostModelParams:
+    """Fitted constants. Defaults are the reference's committed fit for
+    pgvector HNSW (reference helper.py:160,224) — callers should refit for
+    the TPU indexes via models.fitting."""
+
+    k: float = 1.0
+    beta: float = 0.44240961
+    a: float = 550.97
+    b: float = 183157.0
+    join_time: float = 0.0
+
+    def to_dict(self) -> Dict[str, float]:
+        return {"k": self.k, "beta": self.beta, "a": self.a, "b": self.b,
+                "join_times": self.join_time}
+
+    @classmethod
+    def from_dict(cls, d: Mapping[str, float]) -> "CostModelParams":
+        return cls(k=d.get("k", 1.0), beta=d.get("beta", 0.4424),
+                   a=d.get("a", 550.97), b=d.get("b", 183157.0),
+                   join_time=d.get("join_times", d.get("join_time", 0.0)))
+
+
+class RecallModel:
+    def __init__(self, params: CostModelParams):
+        self.p = params
+
+    def recall(self, ef: float, topk: int, sel: float) -> float:
+        """Predicted recall for one (sub)query with selectivity `sel`."""
+        if sel <= 0:
+            return 0.0
+        k, beta = self.p.k, self.p.beta
+        threshold = k * topk / sel
+        if ef <= threshold:
+            r = ef * sel / topk
+        else:
+            exponent = -4.0 * beta * sel / topk * (ef - threshold)
+            r = 1.0 / (1.0 + math.exp(exponent)) + (k - 0.5)
+        return min(r, 1.0)
+
+    def recall_curve(self, efs: Iterable[float], topk: int, sel: float) -> np.ndarray:
+        return np.asarray([self.recall(ef, topk, sel) for ef in efs])
+
+
+def ef_for_recall(
+    target_recall: Optional[float], topk: int, sel: float, params: CostModelParams
+) -> float:
+    """Invert the sigmoid branch: ef needed to reach `target_recall`.
+
+    With target_recall=None, aim as high as the curve allows (the
+    reference's dynamic_value loop, AnonySys_dynamic_partition.py:136-143:
+    largest 1 + x/10 with (1 + x/10) - k < 1, x in {3,2,...}).
+    """
+    k, beta = params.k, params.beta
+    if target_recall is None:
+        x = 3
+        while (1 + x / 10) - k >= 1:
+            x -= 1
+        dynamic_value = 1 + x / 10
+    else:
+        # sigmoid output needed: recall = sig + (k - 0.5) => sig target
+        dynamic_value = target_recall + 0.5
+    safe_sel = max(sel, 1e-6)
+    delta = max(dynamic_value - k, 1e-6)
+    inner = 1.0 / delta - 1.0
+    if inner <= 0:
+        inner = 1e-6
+    safe_beta = beta if abs(beta) > 1e-6 else 1e-6
+    return (math.log(inner) / (-4.0 * safe_beta * safe_sel) * topk
+            + k * topk / safe_sel)
+
+
+class QueryTimeModel:
+    def __init__(self, params: CostModelParams):
+        self.p = params
+
+    def partition_time(self, n_vectors: float, ef: float) -> float:
+        """Predicted per-partition probe time: log(n) * (a*ef + b)."""
+        if n_vectors <= 1:
+            return 0.0
+        return math.log(n_vectors) * (self.p.a * ef + self.p.b)
+
+    def query_time(
+        self, partition_sizes: Iterable[float], ef: float, include_join: bool = True
+    ) -> float:
+        """Total time for a query probing several partitions."""
+        sizes = list(partition_sizes)
+        t = sum(self.partition_time(n, ef) for n in sizes)
+        if include_join:
+            t += self.p.join_time * len(sizes)
+        return t

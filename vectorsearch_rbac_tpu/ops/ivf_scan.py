@@ -1,0 +1,88 @@
+"""IVF probed-list scan with fused RBAC mask.
+
+The ANN fast path: instead of scanning the whole arena, each query probes
+its `nprobe` nearest centroid lists (replacing pgvector's IVFFlat scan,
+reference pgvector/src/ivfscan.c, GUC ivfflat.probes). Lists are padded to
+one fixed length so every gather and matmul has a static shape; padding
+slots carry zero role bits and are rejected by the same fused permission
+check as real rows.
+
+Implementation: a lax.scan over the nprobe probes; each step does a batched
+row gather (Q, L_pad, d) from the inverted file + a per-query dot — HBM
+traffic is Q * nprobe * L_pad * d * itemsize, typically 30-60x less than
+the flat scan at matching recall.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+INF = jnp.inf
+
+
+def probed_topk(
+    queries: jax.Array,       # (Q, d) float32
+    probe_ids: jax.Array,     # (Q, nprobe) int32 — list ids per query
+    inv_vectors: jax.Array,   # (nlist, L_pad, d) compute dtype
+    inv_norms: jax.Array,     # (nlist, L_pad) float32
+    inv_bits: jax.Array,      # (nlist, L_pad, W) uint32, 0 = padding
+    inv_rows: jax.Array,      # (nlist, L_pad) int32 arena row ids, -1 = padding
+    query_masks: jax.Array,   # (Q, W) uint32
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Return (dists (Q, k) true squared-L2 ascending, arena row ids)."""
+    q = queries.astype(jnp.float32)
+    qn = jnp.sum(q * q, axis=1, keepdims=True)
+    nprobe = probe_ids.shape[1]
+    compute_dtype = inv_vectors.dtype
+    qc = q.astype(compute_dtype)
+
+    def step(carry, j):
+        run_vals, run_idx = carry
+        lists_j = jax.lax.dynamic_index_in_dim(probe_ids, j, axis=1, keepdims=False)
+        xb = jnp.take(inv_vectors, lists_j, axis=0)   # (Q, L, d)
+        nb = jnp.take(inv_norms, lists_j, axis=0)     # (Q, L)
+        bb = jnp.take(inv_bits, lists_j, axis=0)      # (Q, L, W)
+        rid = jnp.take(inv_rows, lists_j, axis=0)     # (Q, L)
+        dots = jnp.einsum("qd,qld->ql", qc, xb, preferred_element_type=jnp.float32)
+        scores = nb - 2.0 * dots
+        allowed = jnp.any(jnp.bitwise_and(query_masks[:, None, :], bb) != 0, axis=-1)
+        scores = jnp.where(allowed, scores, INF)
+        vals = jnp.concatenate([run_vals, scores], axis=1)
+        ids = jnp.concatenate([run_idx, rid], axis=1)
+        neg_top, pos = jax.lax.top_k(-vals, k)
+        return (-neg_top, jnp.take_along_axis(ids, pos, axis=1)), None
+
+    init = (
+        jnp.full((q.shape[0], k), INF, dtype=jnp.float32),
+        jnp.full((q.shape[0], k), -1, dtype=jnp.int32),
+    )
+    (vals, idx), _ = jax.lax.scan(step, init, jnp.arange(nprobe))
+    empty = jnp.isinf(vals)
+    dists = jnp.where(empty, INF, jnp.maximum(vals + qn, 0.0))
+    idx = jnp.where(empty, -1, idx)
+    return dists, idx
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe"))
+def ivf_search_fn(
+    queries, centroids, inv_vectors, inv_norms, inv_bits, inv_rows,
+    query_masks, k, nprobe,
+):
+    """Full IVF search: centroid routing (MXU matmul + top-nprobe) then the
+    probed-list scan."""
+    q = queries.astype(jnp.float32)
+    qn = jnp.sum(q * q, axis=1, keepdims=True)
+    cn = jnp.sum(centroids * centroids, axis=1)
+    cd = qn + cn[None, :] - 2.0 * jnp.dot(
+        q, centroids.T, preferred_element_type=jnp.float32
+    )
+    _, probe_ids = jax.lax.top_k(-cd, nprobe)
+    return probed_topk(
+        queries, probe_ids.astype(jnp.int32), inv_vectors, inv_norms,
+        inv_bits, inv_rows, query_masks, k,
+    )

@@ -51,6 +51,7 @@ def masked_scan_topk(
     k: int,
     block_rows: int = 16384,
     mode: str = "exact",
+    recall_target: float = 0.99,
 ) -> Tuple[jax.Array, jax.Array]:
     """Return (dists (Q, k) true squared-L2 ascending, idx (Q, k) int32).
 
@@ -89,7 +90,7 @@ def masked_scan_topk(
         cand_idx = lane + off
 
         if mode == "approx":
-            bvals, bpos = jax.lax.approx_min_k(scores, k)
+            bvals, bpos = jax.lax.approx_min_k(scores, k, recall_target=recall_target)
             bidx = jnp.take_along_axis(
                 jnp.broadcast_to(cand_idx, scores.shape), bpos, axis=1
             )
@@ -114,11 +115,12 @@ def masked_scan_topk(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "block_rows", "mode")
+    jax.jit, static_argnames=("k", "block_rows", "mode", "recall_target")
 )
-def scan_topk_fn(queries, vectors, norms, role_bits, query_masks, k, block_rows, mode):
+def scan_topk_fn(queries, vectors, norms, role_bits, query_masks, k, block_rows,
+                 mode, recall_target=0.99):
     """Jitted entry for masked_scan_topk (static k / block size / mode)."""
     return masked_scan_topk(
         queries, vectors, norms, role_bits, query_masks,
-        k=k, block_rows=block_rows, mode=mode,
+        k=k, block_rows=block_rows, mode=mode, recall_target=recall_target,
     )

@@ -1,0 +1,100 @@
+"""Sharded masked scan: corpus rows across chips, top-k merged over ICI.
+
+The TPU-native scale-out the reference never had (its "distributed" story
+is multiprocess workers against one Postgres, SURVEY.md section 2.5). The
+layout follows the scaling-book recipe: pick a mesh, shard the big operand
+(the corpus rows) over it, keep the small operands (query batch, masks)
+replicated, and let one all-gather of per-shard top-k candidates ride ICI.
+
+Cost sanity: per chip the scan reads N/S rows from local HBM; the merge
+moves S*Q*k*(4+4) bytes over ICI — for Q=256, k=100, S=8 that is ~1.6 MB,
+negligible against the HBM scan. So QPS scales ~linearly in chips.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.scan import masked_scan_topk
+from .mesh import REPL_AXIS, SHARD_AXIS
+
+
+def shard_arena_arrays(mesh: Mesh, vectors, norms, role_bits):
+    """Place arena arrays row-sharded over the mesh's shard axis. Row count
+    must divide by the shard-axis size (pad the arena to a block multiple
+    that also divides: block_rows * n_shards)."""
+    vspec = NamedSharding(mesh, P(SHARD_AXIS, None))
+    nspec = NamedSharding(mesh, P(SHARD_AXIS))
+    bspec = NamedSharding(mesh, P(SHARD_AXIS, None))
+    return (
+        jax.device_put(vectors, vspec),
+        jax.device_put(norms, nspec),
+        jax.device_put(role_bits, bspec),
+    )
+
+
+def sharded_masked_topk(
+    mesh: Mesh,
+    queries: jax.Array,      # (Q, d) replicated
+    vectors: jax.Array,      # (Npad, d) row-sharded
+    norms: jax.Array,        # (Npad,)
+    role_bits: jax.Array,    # (Npad, W)
+    query_masks: jax.Array,  # (Q, W) replicated
+    k: int,
+    block_rows: int = 16384,
+    mode: str = "exact",
+    recall_target: float = 0.99,
+) -> Tuple[jax.Array, jax.Array]:
+    """Distributed exact/approx masked top-k: local scans + ICI merge.
+
+    2D parallelism: queries are data-parallel over the mesh's `repl` axis
+    (Q must divide by it); corpus rows are sharded over `shard` (replicated
+    across `repl`). Returns (dists (Q, k), global row idx (Q, k)) sharded
+    over `repl` like the inputs.
+    """
+    n_shards = mesh.shape[SHARD_AXIS]
+    npad = vectors.shape[0]
+    assert npad % n_shards == 0
+    local_n = npad // n_shards
+    assert local_n % block_rows == 0, (local_n, block_rows)
+
+    def local_scan(q, v, nrm, bits, masks):
+        # local top-k on this chip's rows
+        d, i = masked_scan_topk(
+            q, v, nrm, bits, masks, k=k, block_rows=block_rows,
+            mode=mode, recall_target=recall_target,
+        )
+        # local -> global row ids
+        shard = jax.lax.axis_index(SHARD_AXIS)
+        i = jnp.where(i >= 0, i + shard * local_n, -1)
+        # merge across shards: gather all candidates, exact top-k of S*k
+        all_d = jax.lax.all_gather(d, SHARD_AXIS)   # (S, Q, k)
+        all_i = jax.lax.all_gather(i, SHARD_AXIS)
+        s, qn, _ = all_d.shape
+        flat_d = jnp.transpose(all_d, (1, 0, 2)).reshape(qn, s * k)
+        flat_i = jnp.transpose(all_i, (1, 0, 2)).reshape(qn, s * k)
+        neg_top, pos = jax.lax.top_k(-flat_d, k)
+        return -neg_top, jnp.take_along_axis(flat_i, pos, axis=1)
+
+    from jax.experimental.shard_map import shard_map
+
+    fn = shard_map(
+        local_scan,
+        mesh=mesh,
+        in_specs=(
+            P(REPL_AXIS, None),      # queries: DP over repl
+            P(SHARD_AXIS, None),     # corpus rows: sharded, replicated over repl
+            P(SHARD_AXIS),
+            P(SHARD_AXIS, None),
+            P(REPL_AXIS, None),      # masks follow queries
+        ),
+        out_specs=(P(REPL_AXIS, None), P(REPL_AXIS, None)),
+        check_rep=False,
+    )
+    return fn(queries, vectors, norms, role_bits, query_masks)

@@ -1,0 +1,188 @@
+"""Partitioned search: partitions as data + a batched multi-tenant engine.
+
+Replaces the reference's per-strategy search functions
+(search_documents_* in controller/*, dispatched by dotted path through
+CONDITION_CONFIG, reference basic_benchmark/condition_config.py:12-38) with
+one engine: a strategy is just (partitions over the shared arena, a router
+from user to partition ids). The engine groups a query batch by partition
+so every device dispatch is a large batched scan — the TPU-native analog of
+the reference's per-user connection pools and per-partition SQL queries
+(SURVEY.md section 2.5).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..core import Corpus, DeviceArena
+from ..index.base import PartitionIndex
+from ..index.flat import FlatIndex
+from ..ops.topk import merge_topk_host
+from ..utils.config import FrameworkConfig
+
+
+def make_partition_index(
+    arena: DeviceArena,
+    rows: Optional[np.ndarray],
+    cfg: FrameworkConfig,
+) -> PartitionIndex:
+    """Index factory (replaces CREATE INDEX ... USING hnsw/ivfflat dispatch,
+    reference controller/initialize_main_tables.py:82)."""
+    kind = cfg.index.kind
+    if kind == "flat":
+        return FlatIndex(
+            arena, rows,
+            block_rows=cfg.search.block_rows,
+            mode="exact",
+            query_batch=cfg.search.batch_size,
+        )
+    if kind == "flat_approx":
+        return FlatIndex(
+            arena, rows,
+            block_rows=cfg.search.block_rows,
+            mode="approx",
+            query_batch=cfg.search.batch_size,
+        )
+    if kind == "ivf":
+        from ..index.ivf import IVFIndex
+        return IVFIndex(
+            arena, rows,
+            nlist=cfg.index.ivf_nlist,
+            nprobe=cfg.search.nprobe,
+            kmeans_iters=cfg.index.ivf_kmeans_iters,
+            query_batch=cfg.search.batch_size,
+            seed=cfg.seed,
+        )
+    if kind == "hnsw":
+        from ..index.hnsw import HNSWIndex
+        return HNSWIndex(
+            arena, rows,
+            m=cfg.index.hnsw_m,
+            ef_construction=cfg.index.hnsw_ef_construction,
+            ef_search=cfg.search.ef_search,
+            query_batch=cfg.search.batch_size,
+        )
+    raise ValueError(f"unknown index kind {kind}")
+
+
+@dataclass
+class BuiltPartition:
+    pid: int
+    rows: Optional[np.ndarray]   # arena row ids; None = whole arena
+    index: PartitionIndex
+    label: str = ""
+
+
+class PartitionedSearcher:
+    """A strategy instance: partitions + a user->partitions router."""
+
+    def __init__(
+        self,
+        arena: DeviceArena,
+        partitions: Dict[int, BuiltPartition],
+        router: Callable[[int], Sequence[int]],
+        name: str,
+    ):
+        self.arena = arena
+        self.partitions = partitions
+        self.router = router
+        self.name = name
+
+    # ------------------------------------------------------------- search
+
+    def search_batch(
+        self,
+        queries: np.ndarray,   # (Q, d) float32
+        user_ids: np.ndarray,  # (Q,)
+        user_masks: np.ndarray,  # (num_users, W) or (Q, W) per-query masks
+        k: int,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Return (dists (Q, k), arena_row_ids (Q, k)); -1/inf pads."""
+        queries = np.asarray(queries, dtype=np.float32)
+        user_ids = np.asarray(user_ids)
+        nq = queries.shape[0]
+        if user_masks.shape[0] == nq and user_masks.ndim == 2 and nq != 0:
+            qmasks = np.asarray(user_masks, dtype=np.uint32)
+        else:
+            qmasks = np.asarray(user_masks, dtype=np.uint32)[user_ids]
+
+        # group queries by partition (batched multi-tenant execution)
+        pid_to_queries: Dict[int, List[int]] = {}
+        per_query_pids: List[Sequence[int]] = []
+        for qi in range(nq):
+            pids = self.router(int(user_ids[qi]))
+            per_query_pids.append(pids)
+            for pid in pids:
+                pid_to_queries.setdefault(pid, []).append(qi)
+
+        # run each touched partition once over all its queries
+        part_results: Dict[int, Tuple[np.ndarray, np.ndarray, Dict[int, int]]] = {}
+        for pid, qidx in pid_to_queries.items():
+            part = self.partitions[pid]
+            d, i = part.index.search(queries[qidx], qmasks[qidx], k)
+            pos = {qi: j for j, qi in enumerate(qidx)}
+            part_results[pid] = (d, i, pos)
+
+        # per-query merge across partitions with row-id dedupe; the common
+        # single-partition case (rls/user strategies, single-role users)
+        # skips the merge entirely
+        out_d = np.full((nq, k), np.inf)
+        out_i = np.full((nq, k), -1, dtype=np.int64)
+        for qi in range(nq):
+            pids = per_query_pids[qi]
+            if not pids:
+                continue
+            if len(pids) == 1:
+                d, i, pos = part_results[pids[0]]
+                j = pos[qi]
+                out_d[qi] = d[j]
+                out_i[qi] = i[j]
+                continue
+            ds, is_ = [], []
+            for pid in pids:
+                d, i, pos = part_results[pid]
+                j = pos[qi]
+                ds.append(d[j:j + 1])
+                is_.append(i[j:j + 1])
+            md, mi = merge_topk_host(ds, is_, k)
+            out_d[qi] = md[0]
+            out_i[qi] = mi[0]
+        return out_d, out_i
+
+    def search_user(
+        self, user_id: int, query: np.ndarray, user_masks: np.ndarray, k: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Single-query convenience (reference search_documents_* signature)."""
+        d, i = self.search_batch(
+            np.asarray(query, dtype=np.float32)[None, :],
+            np.array([user_id]),
+            user_masks,
+            k,
+        )
+        return d[0], i[0]
+
+    # ------------------------------------------------------------ storage
+
+    def storage_report(self) -> Dict[str, float]:
+        """MB accounting (replaces basic_benchmark/space_calculate.py): the
+        shared arena plus per-partition duplication and index structures."""
+        arena_vec = self.arena.n_padded * self.arena.dim * self.arena.vectors.dtype.itemsize
+        arena_aux = self.arena.n_padded * (4 + 4 * self.arena.role_bits.shape[1])
+        part_vec = 0
+        part_idx = 0
+        for p in self.partitions.values():
+            sb = p.index.storage_bytes()
+            part_vec += sb["vectors"]
+            part_idx += sb["index"]
+        mb = 1024 * 1024
+        return {
+            "arena_vectors_mb": arena_vec / mb,
+            "arena_aux_mb": arena_aux / mb,
+            "partition_vectors_mb": part_vec / mb,
+            "partition_index_mb": part_idx / mb,
+            "total_mb": (arena_vec + arena_aux + part_vec + part_idx) / mb,
+            "num_partitions": len(self.partitions),
+        }

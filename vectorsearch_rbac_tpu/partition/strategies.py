@@ -1,0 +1,118 @@
+"""The three baseline strategies: global scan (RLS), per-role partitions
+(ROLE), combination-role partitions (USER).
+
+Strategy semantics mirror the reference's CLI algorithms
+(basic_benchmark/test_all.py:34 --algorithm {RLS, ROLE, USER, AnonySys,
+QDTree}):
+
+- RLS: one global index, permission enforced per row (reference
+  controller/baseline/pg_row_security/row_level_security.py:193
+  search_documents_rls). Here the RLS policy compiles to the fused bitmask
+  check — no post-filtering, no per-user DB roles.
+- ROLE: one partition per role holding exactly that role's documents
+  (reference controller/baseline/prefilter/initialize_partitions.py:350
+  initialize_role_partitions); a user's query fans out over their roles and
+  merges (reference prefilter_role.py:22-195).
+- USER (comb): one partition per distinct user role-combination
+  (reference initialize_partitions.py:534 initialize_combination_partitions);
+  a query hits exactly one partition (reference
+  prefilter_combination_role.py:22-166).
+
+The AnonySys dynamic strategy lives in partition/dynamic/; the qd-tree
+baseline in partition/qdtree.py.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..core import Corpus, DeviceArena
+from ..rbac.world import RBACWorld
+from ..utils.config import FrameworkConfig
+from .base import BuiltPartition, PartitionedSearcher, make_partition_index
+
+
+def build_global_searcher(
+    corpus: Corpus, world: RBACWorld, arena: DeviceArena, cfg: FrameworkConfig
+) -> PartitionedSearcher:
+    """RLS analog: one index over the whole arena, fused mask enforcement."""
+    part = BuiltPartition(pid=0, rows=None, index=make_partition_index(arena, None, cfg),
+                          label="global")
+    return PartitionedSearcher(arena, {0: part}, router=lambda uid: (0,), name="rls")
+
+
+def build_role_searcher(
+    corpus: Corpus, world: RBACWorld, arena: DeviceArena, cfg: FrameworkConfig
+) -> PartitionedSearcher:
+    """ROLE prefilter: a physical partition per role."""
+    partitions: Dict[int, BuiltPartition] = {}
+    for role, docs in sorted(world.role_to_docs.items()):
+        rows = corpus.rows_for_docs(np.fromiter(docs, dtype=np.int64, count=len(docs)))
+        if len(rows) == 0:
+            continue
+        partitions[role] = BuiltPartition(
+            pid=role, rows=rows,
+            index=make_partition_index(arena, rows, cfg),
+            label=f"role_{role}",
+        )
+
+    user_to_roles = world.user_to_roles
+
+    def router(uid: int):
+        return tuple(r for r in user_to_roles.get(uid, ()) if r in partitions)
+
+    return PartitionedSearcher(arena, partitions, router, name="role")
+
+
+def build_comb_searcher(
+    corpus: Corpus, world: RBACWorld, arena: DeviceArena, cfg: FrameworkConfig
+) -> PartitionedSearcher:
+    """USER prefilter: a physical partition per distinct role combination."""
+    partitions: Dict[int, BuiltPartition] = {}
+    comb_to_pid: Dict[tuple, int] = {}
+    for pid, comb in enumerate(world.combs):
+        docs = world.comb_docs(comb)
+        rows = corpus.rows_for_docs(np.fromiter(docs, dtype=np.int64, count=len(docs)))
+        if len(rows) == 0:
+            continue
+        comb_to_pid[comb] = pid
+        partitions[pid] = BuiltPartition(
+            pid=pid, rows=rows,
+            index=make_partition_index(arena, rows, cfg),
+            label="comb_" + "_".join(map(str, comb)),
+        )
+
+    user_to_roles = world.user_to_roles
+
+    def router(uid: int):
+        pid = comb_to_pid.get(tuple(user_to_roles.get(uid, ())))
+        return (pid,) if pid is not None else ()
+
+    return PartitionedSearcher(arena, partitions, router, name="user")
+
+
+STRATEGIES = {
+    "rls": build_global_searcher,
+    "role": build_role_searcher,
+    "user": build_comb_searcher,
+}
+
+
+def build_searcher(
+    name: str, corpus: Corpus, world: RBACWorld, arena: DeviceArena, cfg: FrameworkConfig,
+    **kwargs,
+) -> PartitionedSearcher:
+    """Build a strategy by name (one registry replaces CONDITION_CONFIG,
+    reference basic_benchmark/condition_config.py:12-38). Strategies with
+    extra state (dynamic, qdtree) accept kwargs."""
+    if name in STRATEGIES:
+        return STRATEGIES[name](corpus, world, arena, cfg)
+    if name in ("dynamic", "anonysys"):
+        from .dynamic import build_dynamic_searcher
+        return build_dynamic_searcher(corpus, world, arena, cfg, **kwargs)
+    if name == "qdtree":
+        from .qdtree import build_qdtree_searcher
+        return build_qdtree_searcher(corpus, world, arena, cfg, **kwargs)
+    raise ValueError(f"unknown strategy {name}")
