@@ -1,0 +1,272 @@
+"""Command-line drivers.
+
+One CLI replaces the reference's driver zoo (reference README.md:141-229):
+common_prepare_pipeline.py, services/rbac_generator/store_*.py,
+basic_benchmark/generate_queries.py, compute_ground_truth.py,
+AnonySys_dynamic_partition.py and basic_benchmark/test_all.py. State
+between commands lives in an artifact directory (pickled world, query
+dataset JSON, ground-truth cache, plan pickle) instead of Postgres tables.
+
+Usage:
+  python -m vectorsearch_rbac_tpu.cli prepare --dataset sift1m --n 1000000 \\
+      --generator tree --num-roles 100 --num-users 10000
+  python -m vectorsearch_rbac_tpu.cli generate-queries --num-queries 1000 --topk 10
+  python -m vectorsearch_rbac_tpu.cli plan-dynamic --storage 2.0 --recall 0.95
+  python -m vectorsearch_rbac_tpu.cli test --algorithm AnonySys --efs 40
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import sys
+import time
+
+import numpy as np
+
+from .utils.logger import get_logger
+
+logger = get_logger("cli")
+
+# reference test_all.py:34 --algorithm {RLS, ROLE, USER, AnonySys, QDTree}
+ALGORITHM_TO_STRATEGY = {
+    "RLS": "rls",
+    "ROLE": "role",
+    "USER": "user",
+    "AnonySys": "dynamic",
+    "QDTree": "qdtree",
+}
+
+
+def _art(args, name: str) -> str:
+    os.makedirs(args.artifacts, exist_ok=True)
+    return os.path.join(args.artifacts, name)
+
+
+def _load_state(args):
+    with open(_art(args, "state.pkl"), "rb") as f:
+        return pickle.load(f)
+
+
+def cmd_prepare(args) -> None:
+    """Dataset + RBAC world + persisted state (replaces
+    common_prepare_pipeline.py + store_*_rbac_generate_data.py)."""
+    from .data import resolve_dataset
+    from .rbac.generators import GENERATORS
+
+    corpus, query_pool = resolve_dataset(
+        args.dataset, dataset_path=args.dataset_path,
+        num_vectors=args.n, seed=args.seed,
+    )
+    gen_cls = GENERATORS[args.generator]
+    kwargs = dict(num_users=args.num_users, num_docs=corpus.num_docs,
+                  seed=args.seed)
+    if args.generator == "erbac":
+        kwargs["n_froles"] = args.num_roles
+    else:
+        kwargs["num_roles"] = args.num_roles
+    world = gen_cls(**kwargs).generate()
+    state = {
+        "dataset": args.dataset, "dataset_path": args.dataset_path,
+        "n": args.n, "seed": args.seed, "generator": args.generator,
+        "world": world, "query_pool": query_pool,
+    }
+    with open(_art(args, "state.pkl"), "wb") as f:
+        pickle.dump(state, f)
+    logger.info(
+        "prepared: corpus %d x %d, %d roles, %d users, avg user sel %.4f",
+        corpus.n, corpus.dim, world.num_roles, world.num_users,
+        world.average_user_selectivity(),
+    )
+
+
+def _corpus_from_state(state):
+    from .data import resolve_dataset
+
+    corpus, _ = resolve_dataset(
+        state["dataset"], dataset_path=state.get("dataset_path", ""),
+        num_vectors=state["n"], seed=state["seed"],
+    )
+    return corpus
+
+
+def cmd_generate_queries(args) -> None:
+    """Replaces basic_benchmark/generate_queries.py (clears the GT cache on
+    regeneration, reference generate_queries.py:90-92)."""
+    from .bench import generate_query_workload
+
+    state = _load_state(args)
+    corpus = _corpus_from_state(state)
+    wl = generate_query_workload(
+        corpus, state["world"], num_queries=args.num_queries, topk=args.topk,
+        zipf_param=args.zipf, repetitions=args.repetitions,
+        query_pool=state.get("query_pool"), seed=args.seed + 1,
+    )
+    wl.save_json(_art(args, "query_dataset.json"))
+    for f in os.listdir(args.artifacts):
+        if f.startswith("gt_"):
+            os.remove(os.path.join(args.artifacts, f))
+    logger.info("wrote %d queries (topk=%d)", wl.num_queries, args.topk)
+
+
+def cmd_plan_dynamic(args) -> None:
+    """Replaces AnonySys_dynamic_partition.py __main__ (--storage alpha,
+    --recall r; cached fitted params analog = --params json)."""
+    from .bench.queries import QueryWorkload
+    from .models.cost import CostModelParams
+    from .partition.dynamic import (
+        PlannerInputs, comb_weights_from_workload, plan_dynamic_partitions,
+        single_role_weights_from_workload,
+    )
+
+    state = _load_state(args)
+    world = state["world"]
+    corpus = _corpus_from_state(state)
+
+    params = CostModelParams()
+    pfile = _art(args, "parameter_model.json")
+    if os.path.exists(pfile):
+        with open(pfile) as f:
+            params = CostModelParams.from_dict(json.load(f))
+        logger.info("loaded fitted params from %s", pfile)
+
+    qfile = _art(args, "query_dataset.json")
+    if os.path.exists(qfile):
+        wl = QueryWorkload.load_json(qfile)
+        comb_w = comb_weights_from_workload(world, wl)
+        single_w = single_role_weights_from_workload(world, wl)
+    else:
+        comb_w = world.comb_weights
+        single_w = {r: 1.0 / max(world.num_roles, 1) for r in range(world.num_roles)}
+
+    inputs = PlannerInputs(
+        role_to_docs=world.role_to_docs, combs=world.combs,
+        comb_weights=comb_w, single_role_weights=single_w,
+        params=params, alpha=args.storage, topk=args.topk,
+        target_recall=args.recall,
+        avg_blocks_per_doc=corpus.avg_blocks_per_doc,
+    )
+    t0 = time.perf_counter()
+    plan = plan_dynamic_partitions(world, inputs)
+    with open(_art(args, "dynamic_plan.pkl"), "wb") as f:
+        pickle.dump(plan, f)
+    logger.info("planned %d partitions in %.1fs (alpha=%.2f)",
+                len(plan.assignment), time.perf_counter() - t0, args.storage)
+
+
+def cmd_test(args) -> None:
+    """Replaces basic_benchmark/test_all.py: one algorithm, one ef sweep."""
+    import jax  # noqa: F401  (device init)
+
+    from .bench import GroundTruthOracle, generate_query_workload, run_benchmark
+    from .bench.queries import QueryWorkload
+    from .core import build_device_arena
+    from .partition import build_searcher
+    from .utils.config import FrameworkConfig
+
+    state = _load_state(args)
+    world = state["world"]
+    corpus = _corpus_from_state(state)
+
+    cfg = FrameworkConfig(seed=state["seed"])
+    cfg.search.block_rows = args.block_rows
+    cfg.index.kind = args.index
+    cfg.search.nprobe = args.nprobe
+    cfg.optimizer.storage_alpha = args.storage
+
+    arena = build_device_arena(corpus, world, block_rows=cfg.search.block_rows,
+                               dtype=args.dtype)
+    gt_arena = arena if args.dtype == "float32" else build_device_arena(
+        corpus, world, block_rows=cfg.search.block_rows, dtype="float32")
+    oracle = GroundTruthOracle(gt_arena, cache_dir=args.artifacts,
+                               block_rows=cfg.search.block_rows)
+
+    qfile = _art(args, "query_dataset.json")
+    if os.path.exists(qfile):
+        wl = QueryWorkload.load_json(qfile)
+    else:
+        wl = generate_query_workload(corpus, world, num_queries=args.queries_num,
+                                     topk=args.topk,
+                                     query_pool=state.get("query_pool"),
+                                     seed=state["seed"] + 1)
+
+    strategy = ALGORITHM_TO_STRATEGY[args.algorithm]
+    kwargs = {}
+    if strategy == "dynamic":
+        pfile = _art(args, "dynamic_plan.pkl")
+        if os.path.exists(pfile):
+            with open(pfile, "rb") as f:
+                kwargs["plan"] = pickle.load(f)
+    if strategy == "qdtree":
+        kwargs["workload"] = wl
+
+    results = []
+    for ef in args.efs:
+        cfg.search.ef_search = ef
+        cfg.search.nprobe = ef if args.index == "ivf" else cfg.search.nprobe
+        t0 = time.perf_counter()
+        searcher = build_searcher(strategy, corpus, world, arena, cfg, **kwargs)
+        build_s = time.perf_counter() - t0
+        res = run_benchmark(searcher, corpus, world, wl, oracle,
+                            k=args.topk, build_time_s=build_s)
+        results.append(json.loads(res.to_json()))
+
+    out = _art(args, f"{args.algorithm.lower()}_results.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    logger.info("wrote %s", out)
+    print(json.dumps(results[-1]))
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="vectorsearch_rbac_tpu")
+    p.add_argument("--artifacts", default="artifacts")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("prepare")
+    sp.add_argument("--dataset", default="sift1m")
+    sp.add_argument("--dataset-path", default="")
+    sp.add_argument("--n", type=int, default=1_000_000)
+    sp.add_argument("--generator", default="tree",
+                    choices=["tree", "sharing_tree", "erbac", "random"])
+    sp.add_argument("--num-roles", type=int, default=100)
+    sp.add_argument("--num-users", type=int, default=10_000)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_prepare)
+
+    sq = sub.add_parser("generate-queries")
+    sq.add_argument("--num-queries", type=int, default=1000)
+    sq.add_argument("--topk", type=int, default=10)
+    sq.add_argument("--zipf", type=float, default=0)
+    sq.add_argument("--repetitions", type=int, default=1)
+    sq.add_argument("--seed", type=int, default=0)
+    sq.set_defaults(fn=cmd_generate_queries)
+
+    sd = sub.add_parser("plan-dynamic")
+    sd.add_argument("--storage", type=float, default=1.5)
+    sd.add_argument("--recall", type=float, default=None)
+    sd.add_argument("--topk", type=int, default=10)
+    sd.set_defaults(fn=cmd_plan_dynamic)
+
+    st = sub.add_parser("test")
+    st.add_argument("--algorithm", required=True,
+                    choices=sorted(ALGORITHM_TO_STRATEGY))
+    st.add_argument("--efs", type=int, nargs="+", default=[40])
+    st.add_argument("--topk", type=int, default=10)
+    st.add_argument("--queries-num", type=int, default=1000)
+    st.add_argument("--index", default="flat_approx",
+                    choices=["flat", "flat_approx", "ivf", "hnsw"])
+    st.add_argument("--dtype", default="bfloat16")
+    st.add_argument("--block-rows", type=int, default=65536)
+    st.add_argument("--nprobe", type=int, default=16)
+    st.add_argument("--storage", type=float, default=1.5)
+    st.set_defaults(fn=cmd_test)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -22,7 +22,21 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 from ..core import DeviceArena
-from ..ops.scan import scan_topk_fn
+from ..ops.scan import scan_topk_aug_fn, scan_topk_fn
+
+
+def _map_rows(i, row_map):
+    """Translate local indexes to arena row ids on device (jitted so the
+    gather stays in the async dispatch stream)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def go(i, rmap):
+        safe = jnp.maximum(i, 0)
+        return jnp.where(i < 0, -1, jnp.take(rmap, safe))
+
+    return go(i, row_map)
 
 
 def _pad_to_bucket(n: int, block_rows: int) -> int:
@@ -53,6 +67,7 @@ class FlatIndex:
         self.recall_target = recall_target
         self._arena = arena
 
+        self._dim = arena.dim
         if rows is None:
             # whole arena: reuse its device buffers, no copy
             self.n_rows = arena.n
@@ -61,6 +76,7 @@ class FlatIndex:
             self._bits = arena.role_bits
             self._row_map = None  # identity
             self._gathered = False
+            self._vectors_aug = arena.vectors_aug if mode == "approx" else None
         else:
             rows = np.asarray(rows, dtype=np.int64)
             self.n_rows = len(rows)
@@ -84,36 +100,63 @@ class FlatIndex:
             self._bits = jax.device_put(bits)
             self._row_map = jax.device_put(rmap)
             self._gathered = True
+            if mode == "approx":
+                from ..core import augment_with_norms
+                self._vectors_aug = jax.device_put(
+                    augment_with_norms(vecs, norms).astype(part_dtype)
+                )
+            else:
+                self._vectors_aug = None
 
     # ------------------------------------------------------------- search
 
-    def search(
-        self, queries: np.ndarray, query_masks: np.ndarray, k: int
-    ) -> Tuple[np.ndarray, np.ndarray]:
+    def search_deferred(self, queries: np.ndarray, query_masks: np.ndarray, k: int):
+        """Dispatch without syncing; returns a finalize() -> (dists, ids).
+        Lets the engine pipeline many partitions' scans through the device
+        queue before paying a single host sync."""
         import jax.numpy as jnp
 
         q = np.asarray(queries, dtype=np.float32)
         m = np.asarray(query_masks, dtype=np.uint32)
         nq = q.shape[0]
-        out_d = np.empty((nq, k), dtype=np.float32)
-        out_i = np.empty((nq, k), dtype=np.int64)
         bs = self.query_batch
+        pending = []
         for s in range(0, nq, bs):
             e = min(s + bs, nq)
             qb = np.zeros((bs, q.shape[1]), dtype=np.float32)
             mb = np.zeros((bs, m.shape[1]), dtype=np.uint32)
             qb[: e - s] = q[s:e]
             mb[: e - s] = m[s:e]
-            d, i = scan_topk_fn(
-                jnp.asarray(qb), self._vectors, self._norms, self._bits,
-                jnp.asarray(mb), k, self.block_rows, self.mode, self.recall_target,
-            )
+            if self._vectors_aug is not None:
+                d, i = scan_topk_aug_fn(
+                    jnp.asarray(qb), self._vectors_aug, self._bits,
+                    jnp.asarray(mb), self._dim, k, self.block_rows,
+                    self.mode, self.recall_target,
+                )
+            else:
+                d, i = scan_topk_fn(
+                    jnp.asarray(qb), self._vectors, self._norms, self._bits,
+                    jnp.asarray(mb), k, self.block_rows, self.mode,
+                    self.recall_target,
+                )
             if self._row_map is not None:
-                safe = jnp.maximum(i, 0)
-                i = jnp.where(i < 0, -1, jnp.take(self._row_map, safe))
-            out_d[s:e] = np.asarray(d)[: e - s]
-            out_i[s:e] = np.asarray(i)[: e - s]
-        return out_d, out_i
+                i = _map_rows(i, self._row_map)
+            pending.append((s, e, d, i))
+
+        def finalize():
+            out_d = np.empty((nq, k), dtype=np.float32)
+            out_i = np.empty((nq, k), dtype=np.int64)
+            for s, e, d, i in pending:
+                out_d[s:e] = np.asarray(d)[: e - s]
+                out_i[s:e] = np.asarray(i)[: e - s]
+            return out_d, out_i
+
+        return finalize
+
+    def search(
+        self, queries: np.ndarray, query_masks: np.ndarray, k: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        return self.search_deferred(queries, query_masks, k)()
 
     # ------------------------------------------------------------ storage
 

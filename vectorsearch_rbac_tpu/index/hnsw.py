@@ -1,0 +1,220 @@
+"""HNSW index: native graph construction + batched device beam search.
+
+Replaces pgvector's HNSW access method (reference pgvector/src/hnswbuild.c
+build, hnswscan.c scan, GUC hnsw.ef_search) and the C++ pointer-graph
+indexes (reference logical_partition_benchmark/.../pointer_hnsw_index.cpp:
+graph-only index over the shared vector table). The graph addresses the
+partition's row set; vectors live once in the gathered partition arrays
+(or the arena itself for the global index) — the logical/pointer design.
+
+Two builders:
+- "classic": the native C++ Malkov-Yashunin construction
+  (native/hnsw_builder.cpp vsr_hnsw_build);
+- "tpu": device-side exact kNN graph (blockwise MXU matmuls) + native
+  alpha-RNG prune (vsr_rng_prune) — a Vamana-style flat graph that builds
+  orders of magnitude faster for large partitions.
+"auto" picks tpu above 50k rows when a device is present.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from ..core import DeviceArena
+from ..ops.graph_search import graph_search_fn
+from ..utils.logger import get_logger
+from .flat import _pad_to_bucket
+
+logger = get_logger("index.hnsw")
+
+
+def _device_knn_graph(vec: np.ndarray, k: int, block: int = 4096) -> np.ndarray:
+    """Exact kNN graph via blockwise device matmuls (the MXU-native part of
+    the tpu builder)."""
+    import jax
+    import jax.numpy as jnp
+
+    n, d = vec.shape
+    v = jnp.asarray(vec)
+    norms = jnp.sum(v * v, axis=1)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def block_knn(qb, k):
+        dots = jnp.dot(qb, v.T, preferred_element_type=jnp.float32)
+        s = norms[None, :] - 2.0 * dots
+        _, idx = jax.lax.top_k(-s, k + 1)  # +1: self
+        return idx
+
+    out = np.empty((n, k + 1), dtype=np.int32)
+    pending = []
+    for s in range(0, n, block):
+        e = min(s + block, n)
+        qb = np.zeros((block, d), dtype=np.float32)
+        qb[: e - s] = vec[s:e]
+        pending.append((s, e, block_knn(jnp.asarray(qb), k)))
+    for s, e, idx in pending:
+        out[s:e] = np.asarray(idx)[: e - s]
+    return out
+
+
+class HNSWIndex:
+    def __init__(
+        self,
+        arena: DeviceArena,
+        rows: Optional[np.ndarray] = None,
+        m: int = 16,
+        ef_construction: int = 64,
+        ef_search: int = 40,
+        query_batch: int = 256,
+        builder: str = "auto",
+        knn_k: int = 32,
+        alpha: float = 1.2,
+        seed: int = 0,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        self.m = m
+        self.ef_search = ef_search
+        self.query_batch = query_batch
+
+        if arena.host_vectors is not None:
+            host_vec, host_norm, host_bits = (
+                arena.host_vectors, arena.host_norms, arena.host_bits
+            )
+        else:
+            host_vec = np.asarray(arena.vectors, dtype=np.float32)
+            host_norm = np.asarray(arena.norms)
+            host_bits = np.asarray(arena.role_bits)
+
+        if rows is None:
+            rows = np.arange(arena.n, dtype=np.int64)
+        else:
+            rows = np.asarray(rows, dtype=np.int64)
+        self.n_rows = len(rows)
+        vec = np.ascontiguousarray(host_vec[rows], dtype=np.float32)
+        n, d = vec.shape
+
+        if builder == "auto":
+            builder = "tpu" if n > 50_000 else "classic"
+        self.builder = builder
+
+        t0 = time.perf_counter()
+        from .. import native
+
+        if builder == "classic":
+            if native.available():
+                nbr, levels, entry, _ = native.hnsw_build(
+                    vec, m=m, ef_construction=ef_construction, seed=seed
+                )
+            else:
+                nbr, entry = _python_fallback_graph(vec, m, seed)
+        elif builder == "tpu":
+            if not native.available():
+                raise RuntimeError("tpu builder needs the native prune library")
+            knn = _device_knn_graph(vec, k=knn_k)
+            nbr = native.rng_prune(vec, knn[:, 1:], m=m, alpha=alpha)
+            entry = int(knn[np.random.default_rng(seed).integers(n), 0])
+            # entry: medoid-ish — node closest to the mean
+            mean = vec.mean(axis=0, keepdims=True)
+            entry = int(np.argmin(((vec - mean) ** 2).sum(axis=1)))
+        else:
+            raise ValueError(f"unknown builder {builder}")
+        self.build_time_s = time.perf_counter() - t0
+        self.entry = int(entry)
+        m0 = nbr.shape[1]
+
+        # pad to a block bucket so few shapes compile
+        npad = _pad_to_bucket(max(n, 1), 1024)
+        pad = npad - n
+        gvec = np.concatenate([vec, np.zeros((pad, d), np.float32)])
+        gnorm = np.concatenate([host_norm[rows], np.zeros(pad, np.float32)])
+        gbits = np.concatenate(
+            [host_bits[rows], np.zeros((pad, host_bits.shape[1]), np.uint32)]
+        )
+        ggraph = np.concatenate([nbr, np.full((pad, m0), -1, np.int32)])
+        rmap = np.concatenate([rows, np.full(pad, -1)]).astype(np.int32)
+
+        compute_dtype = arena.vectors.dtype
+        self._vectors = jax.device_put(gvec.astype(compute_dtype))
+        self._norms = jax.device_put(gnorm)
+        self._bits = jax.device_put(gbits)
+        self._graph = jax.device_put(ggraph)
+        self._row_map = jax.device_put(rmap)
+        avg_deg = float((nbr >= 0).sum(axis=1).mean())
+        logger.info(
+            "HNSW built (%s): %d rows, M0=%d (avg deg %.1f), %.2fs",
+            builder, n, m0, avg_deg, self.build_time_s,
+        )
+
+    # ------------------------------------------------------------- search
+
+    def search(
+        self, queries: np.ndarray, query_masks: np.ndarray, k: int,
+        ef_search: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        import jax.numpy as jnp
+
+        ef = max(ef_search or self.ef_search, k + 1)
+        q = np.asarray(queries, dtype=np.float32)
+        mm = np.asarray(query_masks, dtype=np.uint32)
+        nq = q.shape[0]
+        # small dedupe margin: the device result list may rarely contain
+        # duplicates (see ops/graph_search.py) — fetch extra, dedupe on host
+        kk = min(k + 8, ef)
+        out_d = np.empty((nq, k), dtype=np.float32)
+        out_i = np.empty((nq, k), dtype=np.int64)
+        bs = self.query_batch
+        pending = []
+        for s in range(0, nq, bs):
+            e = min(s + bs, nq)
+            qb = np.zeros((bs, q.shape[1]), dtype=np.float32)
+            mb = np.zeros((bs, mm.shape[1]), dtype=np.uint32)
+            qb[: e - s] = q[s:e]
+            mb[: e - s] = mm[s:e]
+            d, i = graph_search_fn(
+                jnp.asarray(qb), self._vectors, self._norms, self._bits,
+                self._graph, jnp.asarray(mb), self.entry, kk, ef,
+            )
+            pending.append((s, e, d, i))
+        from ..ops.topk import merge_topk_host
+
+        for s, e, d, i in pending:
+            d = np.asarray(d)[: e - s].astype(np.float64)
+            i = np.asarray(i)[: e - s].astype(np.int64)
+            # local -> arena ids, with host dedupe to k
+            rmap = np.asarray(self._row_map)
+            i = np.where(i >= 0, rmap[np.maximum(i, 0)], -1)
+            md, mi = merge_topk_host([d], [i], k)
+            out_d[s:e] = md
+            out_i[s:e] = mi
+        return out_d, out_i
+
+    # ------------------------------------------------------------ storage
+
+    def storage_bytes(self) -> Dict[str, int]:
+        npad, d = self._vectors.shape
+        m0 = self._graph.shape[1]
+        w = self._bits.shape[1]
+        return {
+            "vectors": int(npad * d * self._vectors.dtype.itemsize),
+            "index": int(npad * (m0 * 4 + 4 + 4 * w + 4)),  # graph+norm+bits+rmap
+        }
+
+
+def _python_fallback_graph(vec: np.ndarray, m: int, seed: int) -> Tuple[np.ndarray, int]:
+    """Tiny pure-python builder for environments without a compiler: exact
+    kNN graph + naive prune. Test-sized inputs only."""
+    n = len(vec)
+    d2 = ((vec[:, None, :] - vec[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    knn = np.argsort(d2, axis=1)[:, : 2 * m].astype(np.int32)
+    mean = vec.mean(axis=0, keepdims=True)
+    entry = int(np.argmin(((vec - mean) ** 2).sum(axis=1)))
+    return knn, entry

@@ -156,6 +156,7 @@ class IVFIndex:
         out_d = np.empty((nq, k), dtype=np.float32)
         out_i = np.empty((nq, k), dtype=np.int64)
         bs = self.query_batch
+        pending = []  # async dispatch, single sync at the end
         for s in range(0, nq, bs):
             e = min(s + bs, nq)
             qb = np.zeros((bs, q.shape[1]), dtype=np.float32)
@@ -167,6 +168,8 @@ class IVFIndex:
                 self._inv_norms, self._inv_bits, self._inv_rows,
                 jnp.asarray(mb), k, nprobe,
             )
+            pending.append((s, e, d, i))
+        for s, e, d, i in pending:
             out_d[s:e] = np.asarray(d)[: e - s]
             out_i[s:e] = np.asarray(i)[: e - s]
         return out_d, out_i

@@ -1,0 +1,139 @@
+"""ctypes bindings for the native runtime (libvsrbac_native.so).
+
+Builds the shared library on demand with `make` (g++ is baked into the
+image; pybind11 is not, so the boundary is a plain C ABI). All functions
+degrade gracefully: `available()` is False when no compiler exists, and
+callers fall back to pure-Python construction (slow, test-sized only).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..utils.logger import get_logger
+
+logger = get_logger("native")
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libvsrbac_native.so")
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(
+                ["make", "-s", "-C", _DIR],
+                check=True, capture_output=True, timeout=300,
+            )
+        except Exception as e:  # no compiler / build failure -> fallback
+            logger.warning("native build failed (%s); using python fallback", e)
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError as e:
+        logger.warning("native load failed (%s); using python fallback", e)
+        return None
+
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.vsr_hnsw_build.restype = ctypes.c_int
+    lib.vsr_hnsw_build.argtypes = [
+        f32p, ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_uint64, i32p, i32p, i32p,
+    ]
+    lib.vsr_rng_prune.restype = ctypes.c_int
+    lib.vsr_rng_prune.argtypes = [
+        f32p, ctypes.c_int64, ctypes.c_int, i32p, ctypes.c_int,
+        ctypes.c_int, ctypes.c_float, i32p,
+    ]
+    lib.vsr_exact_knn.restype = ctypes.c_int
+    lib.vsr_exact_knn.argtypes = [
+        f32p, ctypes.c_int64, ctypes.c_int, f32p, ctypes.c_int64,
+        ctypes.c_int, i32p, f32p,
+    ]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _f32p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _i32p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def hnsw_build(
+    vectors: np.ndarray, m: int = 16, ef_construction: int = 64, seed: int = 0
+) -> Tuple[np.ndarray, np.ndarray, int, int]:
+    """Build an HNSW graph. Returns (neighbors0 (n, 2m) int32, levels (n,),
+    entry_point, max_level)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    vec = np.ascontiguousarray(vectors, dtype=np.float32)
+    n, d = vec.shape
+    nbr = np.full((n, 2 * m), -1, dtype=np.int32)
+    levels = np.zeros(n, dtype=np.int32)
+    entry = np.zeros(1, dtype=np.int32)
+    max_level = lib.vsr_hnsw_build(
+        _f32p(vec), n, d, m, ef_construction, seed,
+        _i32p(nbr), _i32p(levels), _i32p(entry),
+    )
+    if max_level < 0:
+        raise RuntimeError("vsr_hnsw_build failed")
+    return nbr, levels, int(entry[0]), int(max_level)
+
+
+def rng_prune(
+    vectors: np.ndarray, knn: np.ndarray, m: int = 16, alpha: float = 1.2
+) -> np.ndarray:
+    """Prune a kNN candidate graph into a navigable (n, 2m) adjacency."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    vec = np.ascontiguousarray(vectors, dtype=np.float32)
+    knn = np.ascontiguousarray(knn, dtype=np.int32)
+    n, d = vec.shape
+    k = knn.shape[1]
+    out = np.full((n, 2 * m), -1, dtype=np.int32)
+    rc = lib.vsr_rng_prune(_f32p(vec), n, d, _i32p(knn), k, m,
+                           ctypes.c_float(alpha), _i32p(out))
+    if rc != 0:
+        raise RuntimeError("vsr_rng_prune failed")
+    return out
+
+
+def exact_knn(
+    vectors: np.ndarray, queries: np.ndarray, k: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact CPU kNN (native oracle for tests)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    vec = np.ascontiguousarray(vectors, dtype=np.float32)
+    q = np.ascontiguousarray(queries, dtype=np.float32)
+    n, d = vec.shape
+    nq = q.shape[0]
+    ids = np.zeros((nq, k), dtype=np.int32)
+    dists = np.zeros((nq, k), dtype=np.float32)
+    rc = lib.vsr_exact_knn(_f32p(vec), n, d, _f32p(q), nq, k,
+                           _i32p(ids), _f32p(dists))
+    if rc != 0:
+        raise RuntimeError("vsr_exact_knn failed")
+    return ids, dists

@@ -1,0 +1,148 @@
+"""Batched HNSW/graph beam search on device.
+
+Replaces pgvector's per-query HNSW scan (reference pgvector/src/hnswscan.c,
+GUC hnsw.ef_search) and the C++ pointer-graph search (reference
+logical_partition_benchmark/.../pointer_hnsw_index.cpp) with a
+batch-synchronous traversal: Q queries advance together; each step expands
+one frontier node per query, gathers its padded neighbor row, computes
+distances with a batched VPU dot, and merges into (a) an unfiltered
+traversal beam and (b) a permission-filtered result list.
+
+Key filtered-search property (matches ACORN's design, reference
+acorn_benchmark/src/acorn_search.cpp): traversal IGNORES permissions —
+inaccessible nodes still route — while results admit only rows whose role
+bitset intersects the query mask. This keeps graph connectivity intact
+under low selectivity.
+
+Visited-set: membership is tested against the current beam plus the
+expansion history (both bounded, static shapes) instead of a per-node
+bitmap — revisits are rare and only cost duplicate work; final result
+duplicates are removed by requesting a small k margin and deduping on the
+host merge path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+INF = jnp.inf
+NEG = jnp.int32(-1)
+
+
+def graph_beam_search(
+    queries: jax.Array,      # (Q, d) float32
+    vectors: jax.Array,      # (n_pad, d) compute dtype
+    norms: jax.Array,        # (n_pad,) float32
+    role_bits: jax.Array,    # (n_pad, W) uint32
+    graph: jax.Array,        # (n_pad, M0) int32 local neighbor ids, -1 pad
+    query_masks: jax.Array,  # (Q, W) uint32
+    entry: int,              # entry node id
+    k: int,
+    ef: int,                 # beam width AND number of expansions
+) -> Tuple[jax.Array, jax.Array]:
+    """Return (dists (Q, k) true squared L2 ascending, local ids (Q, k))."""
+    q = queries.astype(jnp.float32)
+    nq, d = q.shape
+    m0 = graph.shape[1]
+    qn = jnp.sum(q * q, axis=1, keepdims=True)
+    compute_dtype = vectors.dtype
+    qc = q.astype(compute_dtype)
+
+    def dist_to(ids):  # ids (Q, C) -> scores (Q, C), ||x||^2 - 2 q.x
+        safe = jnp.maximum(ids, 0)
+        x = jnp.take(vectors, safe, axis=0)              # (Q, C, d)
+        nrm = jnp.take(norms, safe, axis=0)              # (Q, C)
+        dots = jnp.einsum("qd,qcd->qc", qc, x, preferred_element_type=jnp.float32)
+        s = nrm - 2.0 * dots
+        return jnp.where(ids >= 0, s, INF)
+
+    def allowed(ids):
+        safe = jnp.maximum(ids, 0)
+        bits = jnp.take(role_bits, safe, axis=0)         # (Q, C, W)
+        ok = jnp.any(jnp.bitwise_and(query_masks[:, None, :], bits) != 0, axis=-1)
+        return jnp.logical_and(ok, ids >= 0)
+
+    # init: beam = entry point
+    entry_ids = jnp.full((nq, 1), entry, dtype=jnp.int32)
+    entry_d = dist_to(entry_ids)
+    pad_ids = jnp.full((nq, ef - 1), -1, dtype=jnp.int32)
+    pad_d = jnp.full((nq, ef - 1), INF)
+    beam_ids = jnp.concatenate([entry_ids, pad_ids], axis=1)     # (Q, ef)
+    beam_d = jnp.concatenate([entry_d, pad_d], axis=1)
+    beam_expanded = jnp.concatenate(
+        [jnp.zeros((nq, 1), bool), jnp.ones((nq, ef - 1), bool)], axis=1
+    )
+
+    res_ids = jnp.full((nq, k), -1, dnp := jnp.int32)
+    res_d = jnp.full((nq, k), INF)
+    e_ok = allowed(entry_ids)
+    res_ids = res_ids.at[:, 0].set(jnp.where(e_ok[:, 0], entry_ids[:, 0], -1))
+    res_d = res_d.at[:, 0].set(jnp.where(e_ok[:, 0], entry_d[:, 0], INF))
+
+    history = jnp.full((nq, ef), -1, dtype=jnp.int32)   # expanded nodes
+
+    rows = jnp.arange(nq)
+
+    def body(t, state):
+        beam_ids, beam_d, beam_expanded, res_ids, res_d, history = state
+        # pick the closest unexpanded beam node per query
+        masked = jnp.where(beam_expanded, INF, beam_d)
+        sel = jnp.argmin(masked, axis=1)                           # (Q,)
+        sel_d = masked[rows, sel]
+        active = jnp.isfinite(sel_d)                               # any frontier left
+        node = jnp.where(active, beam_ids[rows, sel], -1)          # (Q,)
+        beam_expanded = beam_expanded.at[rows, sel].set(True)
+        history = history.at[:, t].set(node)
+
+        nb = jnp.take(graph, jnp.maximum(node, 0), axis=0)         # (Q, M0)
+        nb = jnp.where((node >= 0)[:, None], nb, -1)
+        # drop already-seen: in beam or in history
+        seen_beam = jnp.any(nb[:, :, None] == beam_ids[:, None, :], axis=-1)
+        seen_hist = jnp.any(nb[:, :, None] == history[:, None, :], axis=-1)
+        nb = jnp.where(seen_beam | seen_hist, -1, nb)
+
+        nd = dist_to(nb)                                           # (Q, M0)
+
+        # traversal beam merge (unfiltered)
+        all_ids = jnp.concatenate([beam_ids, nb], axis=1)
+        all_d = jnp.concatenate([beam_d, nd], axis=1)
+        all_exp = jnp.concatenate(
+            [beam_expanded, jnp.zeros_like(nb, dtype=bool)], axis=1
+        )
+        neg_top, pos = jax.lax.top_k(-all_d, ef)
+        beam_d = -neg_top
+        beam_ids = jnp.take_along_axis(all_ids, pos, axis=1)
+        beam_expanded = jnp.take_along_axis(all_exp, pos, axis=1)
+
+        # filtered result merge
+        ok = allowed(nb)
+        rd = jnp.where(ok, nd, INF)
+        r_ids = jnp.concatenate([res_ids, nb], axis=1)
+        r_d = jnp.concatenate([res_d, rd], axis=1)
+        neg_top, pos = jax.lax.top_k(-r_d, k)
+        res_d = -neg_top
+        res_ids = jnp.take_along_axis(r_ids, pos, axis=1)
+
+        return beam_ids, beam_d, beam_expanded, res_ids, res_d, history
+
+    state = (beam_ids, beam_d, beam_expanded, res_ids, res_d, history)
+    state = jax.lax.fori_loop(1, ef, body, state)
+    _, _, _, res_ids, res_d, _ = state
+
+    empty = jnp.isinf(res_d)
+    dists = jnp.where(empty, INF, jnp.maximum(res_d + qn, 0.0))
+    ids = jnp.where(empty, -1, res_ids)
+    return dists, ids
+
+
+@functools.partial(jax.jit, static_argnames=("entry", "k", "ef"))
+def graph_search_fn(queries, vectors, norms, role_bits, graph, query_masks,
+                    entry, k, ef):
+    return graph_beam_search(
+        queries, vectors, norms, role_bits, graph, query_masks,
+        entry=entry, k=k, ef=ef,
+    )

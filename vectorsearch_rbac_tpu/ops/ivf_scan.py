@@ -41,8 +41,7 @@ def probed_topk(
     compute_dtype = inv_vectors.dtype
     qc = q.astype(compute_dtype)
 
-    def step(carry, j):
-        run_vals, run_idx = carry
+    def step(_, j):
         lists_j = jax.lax.dynamic_index_in_dim(probe_ids, j, axis=1, keepdims=False)
         xb = jnp.take(inv_vectors, lists_j, axis=0)   # (Q, L, d)
         nb = jnp.take(inv_norms, lists_j, axis=0)     # (Q, L)
@@ -52,16 +51,25 @@ def probed_topk(
         scores = nb - 2.0 * dots
         allowed = jnp.any(jnp.bitwise_and(query_masks[:, None, :], bb) != 0, axis=-1)
         scores = jnp.where(allowed, scores, INF)
-        vals = jnp.concatenate([run_vals, scores], axis=1)
-        ids = jnp.concatenate([run_idx, rid], axis=1)
-        neg_top, pos = jax.lax.top_k(-vals, k)
-        return (-neg_top, jnp.take_along_axis(ids, pos, axis=1)), None
+        # per-probe reduction only; one deferred merge outside the scan
+        kk = min(k, scores.shape[1])
+        neg_top, pos = jax.lax.top_k(-scores, kk)
+        return None, (-neg_top, jnp.take_along_axis(rid, pos, axis=1))
 
-    init = (
-        jnp.full((q.shape[0], k), INF, dtype=jnp.float32),
-        jnp.full((q.shape[0], k), -1, dtype=jnp.int32),
-    )
-    (vals, idx), _ = jax.lax.scan(step, init, jnp.arange(nprobe))
+    _, (blk_vals, blk_ids) = jax.lax.scan(step, None, jnp.arange(nprobe))
+    nq = q.shape[0]
+    kk = blk_vals.shape[2]
+    cand_vals = jnp.transpose(blk_vals, (1, 0, 2)).reshape(nq, nprobe * kk)
+    cand_ids = jnp.transpose(blk_ids, (1, 0, 2)).reshape(nq, nprobe * kk)
+    if cand_vals.shape[1] < k:  # fewer candidates than k: pad
+        pad = k - cand_vals.shape[1]
+        cand_vals = jnp.concatenate(
+            [cand_vals, jnp.full((nq, pad), INF)], axis=1)
+        cand_ids = jnp.concatenate(
+            [cand_ids, jnp.full((nq, pad), -1, cand_ids.dtype)], axis=1)
+    neg_top, pos = jax.lax.top_k(-cand_vals, k)
+    vals = -neg_top
+    idx = jnp.take_along_axis(cand_ids, pos, axis=1)
     empty = jnp.isinf(vals)
     dists = jnp.where(empty, INF, jnp.maximum(vals + qn, 0.0))
     idx = jnp.where(empty, -1, idx)

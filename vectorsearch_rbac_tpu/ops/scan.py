@@ -34,14 +34,6 @@ import jax.numpy as jnp
 INF = jnp.inf
 
 
-def _merge_topk(run_vals, run_idx, cand_vals, cand_idx, k):
-    """Merge running (Q, k) with candidates (Q, C): exact top-k of the union."""
-    vals = jnp.concatenate([run_vals, cand_vals], axis=1)
-    idx = jnp.concatenate([run_idx, cand_idx], axis=1)
-    neg_top, pos = jax.lax.top_k(-vals, k)
-    return -neg_top, jnp.take_along_axis(idx, pos, axis=1)
-
-
 def masked_scan_topk(
     queries: jax.Array,        # (Q, d) float32
     vectors: jax.Array,        # (Npad, d) compute dtype, Npad % block_rows == 0
@@ -71,10 +63,7 @@ def masked_scan_topk(
     bit_blocks = role_bits.reshape(nb, block_rows, -1)
     offsets = (jnp.arange(nb, dtype=jnp.int32) * block_rows)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, block_rows), 1)
-
-    def body(carry, xs):
-        run_vals, run_idx = carry
+    def body(_, xs):
         xb, nb_, bb, off = xs
         # scores: ||x||^2 - 2 q.x  (monotone in true L2 per query)
         dots = jax.lax.dot_general(
@@ -87,26 +76,28 @@ def masked_scan_topk(
         hit = jnp.bitwise_and(query_masks[:, None, :], bb[None, :, :])
         allowed = jnp.any(hit != 0, axis=-1)
         scores = jnp.where(allowed, scores, INF)
-        cand_idx = lane + off
 
+        # Per-block reduction only — no running merge inside the scan (a
+        # per-block (2k) top_k merge doubled wall time on device; the single
+        # deferred merge below is far cheaper). Candidate ids derive from
+        # positions, never a materialized (Q, block) index matrix.
         if mode == "approx":
             bvals, bpos = jax.lax.approx_min_k(scores, k, recall_target=recall_target)
-            bidx = jnp.take_along_axis(
-                jnp.broadcast_to(cand_idx, scores.shape), bpos, axis=1
-            )
-            new_vals, new_idx = _merge_topk(run_vals, run_idx, bvals, bidx, k)
         else:
-            new_vals, new_idx = _merge_topk(
-                run_vals, run_idx, scores,
-                jnp.broadcast_to(cand_idx, scores.shape), k,
-            )
-        return (new_vals, new_idx), None
+            neg, bpos = jax.lax.top_k(-scores, k)
+            bvals = -neg
+        bidx = bpos.astype(jnp.int32) + off
+        return None, (bvals, bidx)
 
-    init = (
-        jnp.full((q.shape[0], k), INF, dtype=jnp.float32),
-        jnp.full((q.shape[0], k), -1, dtype=jnp.int32),
+    _, (blk_vals, blk_idx) = jax.lax.scan(
+        body, None, (vec_blocks, norm_blocks, bit_blocks, offsets)
     )
-    (vals, idx), _ = jax.lax.scan(body, init, (vec_blocks, norm_blocks, bit_blocks, offsets))
+    # deferred exact merge over all blocks' candidates: (nb, Q, k) -> (Q, nb*k)
+    cand_vals = jnp.transpose(blk_vals, (1, 0, 2)).reshape(q.shape[0], nb * k)
+    cand_idx = jnp.transpose(blk_idx, (1, 0, 2)).reshape(q.shape[0], nb * k)
+    neg_top, pos = jax.lax.top_k(-cand_vals, k)
+    vals = -neg_top
+    idx = jnp.take_along_axis(cand_idx, pos, axis=1)
 
     empty = jnp.isinf(vals)
     dists = jnp.where(empty, INF, jnp.maximum(vals + qn, 0.0))
@@ -118,9 +109,80 @@ def masked_scan_topk(
     jax.jit, static_argnames=("k", "block_rows", "mode", "recall_target")
 )
 def scan_topk_fn(queries, vectors, norms, role_bits, query_masks, k, block_rows,
-                 mode, recall_target=0.99):
+                 mode, recall_target=0.95):
     """Jitted entry for masked_scan_topk (static k / block size / mode)."""
     return masked_scan_topk(
         queries, vectors, norms, role_bits, query_masks,
         k=k, block_rows=block_rows, mode=mode, recall_target=recall_target,
+    )
+
+
+def masked_scan_topk_aug(
+    queries: jax.Array,        # (Q, d) float32 — RAW queries
+    vectors_aug: jax.Array,    # (Npad, d_aug): [x | norm_hi | norm_lo | 0pad]
+    role_bits: jax.Array,      # (Npad, W)
+    query_masks: jax.Array,    # (Q, W)
+    d: int,                    # original vector dimensionality
+    k: int,
+    block_rows: int = 65536,
+    mode: str = "approx",
+    recall_target: float = 0.95,
+) -> Tuple[jax.Array, jax.Array]:
+    """Augmented-layout scan: the squared-norm term rides inside the matmul
+    (see core.augment_with_norms), removing a full (Q, N) elementwise pass.
+    Semantics identical to masked_scan_topk."""
+    q = queries.astype(jnp.float32)
+    nq = q.shape[0]
+    npad, d_aug = vectors_aug.shape
+    assert npad % block_rows == 0, (npad, block_rows)
+    nb = npad // block_rows
+    qn = jnp.sum(q * q, axis=1, keepdims=True)
+
+    compute_dtype = vectors_aug.dtype
+    ones = jnp.ones((nq, 1), jnp.float32)
+    zeros = jnp.zeros((nq, d_aug - d - 2), jnp.float32)
+    q_aug = jnp.concatenate([-2.0 * q, ones, ones, zeros], axis=1).astype(compute_dtype)
+
+    vec_blocks = vectors_aug.reshape(nb, block_rows, d_aug)
+    bit_blocks = role_bits.reshape(nb, block_rows, -1)
+    offsets = jnp.arange(nb, dtype=jnp.int32) * block_rows
+
+    def body(_, xs):
+        xb, bb, off = xs
+        scores = jax.lax.dot_general(
+            q_aug, xb,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        hit = jnp.bitwise_and(query_masks[:, None, :], bb[None, :, :])
+        allowed = jnp.any(hit != 0, axis=-1)
+        scores = jnp.where(allowed, scores, INF)
+        if mode == "approx":
+            bvals, bpos = jax.lax.approx_min_k(scores, k, recall_target=recall_target)
+        else:
+            neg, bpos = jax.lax.top_k(-scores, k)
+            bvals = -neg
+        return None, (bvals, bpos.astype(jnp.int32) + off)
+
+    _, (blk_vals, blk_idx) = jax.lax.scan(body, None, (vec_blocks, bit_blocks, offsets))
+    cand_vals = jnp.transpose(blk_vals, (1, 0, 2)).reshape(nq, nb * k)
+    cand_idx = jnp.transpose(blk_idx, (1, 0, 2)).reshape(nq, nb * k)
+    neg_top, pos = jax.lax.top_k(-cand_vals, k)
+    vals = -neg_top
+    idx = jnp.take_along_axis(cand_idx, pos, axis=1)
+
+    empty = jnp.isinf(vals)
+    dists = jnp.where(empty, INF, jnp.maximum(vals + qn, 0.0))
+    idx = jnp.where(empty, -1, idx)
+    return dists, idx
+
+
+@functools.partial(
+    jax.jit, static_argnames=("d", "k", "block_rows", "mode", "recall_target")
+)
+def scan_topk_aug_fn(queries, vectors_aug, role_bits, query_masks, d, k,
+                     block_rows, mode, recall_target=0.95):
+    return masked_scan_topk_aug(
+        queries, vectors_aug, role_bits, query_masks, d=d, k=k,
+        block_rows=block_rows, mode=mode, recall_target=recall_target,
     )

@@ -109,20 +109,39 @@ class PartitionedSearcher:
         else:
             qmasks = np.asarray(user_masks, dtype=np.uint32)[user_ids]
 
-        # group queries by partition (batched multi-tenant execution)
+        # group queries by partition (batched multi-tenant execution);
+        # strategies with vector-dependent routing (qd-tree centroid
+        # predicates) expose vector_router(uid, qvec)
+        vrouter = getattr(self, "vector_router", None)
         pid_to_queries: Dict[int, List[int]] = {}
         per_query_pids: List[Sequence[int]] = []
         for qi in range(nq):
-            pids = self.router(int(user_ids[qi]))
+            if vrouter is not None:
+                pids = vrouter(int(user_ids[qi]), queries[qi])
+            else:
+                pids = self.router(int(user_ids[qi]))
             per_query_pids.append(pids)
             for pid in pids:
                 pid_to_queries.setdefault(pid, []).append(qi)
 
-        # run each touched partition once over all its queries
+        # run each touched partition once over all its queries; partitions
+        # supporting deferred dispatch are all enqueued before the first
+        # sync so their device scans pipeline back-to-back
         part_results: Dict[int, Tuple[np.ndarray, np.ndarray, Dict[int, int]]] = {}
+        deferred: Dict[int, object] = {}
         for pid, qidx in pid_to_queries.items():
             part = self.partitions[pid]
-            d, i = part.index.search(queries[qidx], qmasks[qidx], k)
+            if hasattr(part.index, "search_deferred"):
+                deferred[pid] = part.index.search_deferred(
+                    queries[qidx], qmasks[qidx], k
+                )
+            else:
+                d, i = part.index.search(queries[qidx], qmasks[qidx], k)
+                pos = {qi: j for j, qi in enumerate(qidx)}
+                part_results[pid] = (d, i, pos)
+        for pid, fin in deferred.items():
+            d, i = fin()
+            qidx = pid_to_queries[pid]
             pos = {qi: j for j, qi in enumerate(qidx)}
             part_results[pid] = (d, i, pos)
 

@@ -1,0 +1,240 @@
+"""QD-tree baseline ("QDTree" / HQI): workload-aware binary partition tree.
+
+Re-implements the semantics of the reference's HQI baseline (reference
+controller/baseline/HQI/qd_tree.py): documents are recursively split by
+predicates — role membership (`doc readable by role r`) or vector-space
+side (2-means centroid assignment of document mean vectors, reference
+:161-174 Predicate, :207 run_kmeans) — choosing at each node the split
+that minimizes expected query-visited volume and balance (reference
+:420-505 find_best_split). Leaves become partitions (reference
+:1217 persist_partitions_to_postgres); queries visit leaves that are
+role-reachable, pruned along centroid predicates by the query vector's
+side (reference :1347-1469 qd_tree_search_statistics_sql). Trees pickle to
+disk (reference :1724 save_qd_tree / :1741 load_qd_tree).
+"""
+
+from __future__ import annotations
+
+import pickle
+from dataclasses import dataclass, field
+from typing import Dict, FrozenSet, List, Optional, Sequence, Set, Tuple, Union
+
+import numpy as np
+
+from ..core import Corpus, DeviceArena
+from ..rbac.world import RBACWorld
+from ..utils.config import FrameworkConfig
+from ..utils.logger import get_logger
+from .base import BuiltPartition, PartitionedSearcher, make_partition_index
+
+logger = get_logger("qdtree")
+
+
+@dataclass
+class QDNode:
+    # predicate: ("role", role_id) or ("centroid", left_center, right_center)
+    pred: Optional[tuple] = None
+    left: Optional["QDNode"] = None    # predicate true / nearer left center
+    right: Optional["QDNode"] = None
+    leaf_id: int = -1
+    docs: Optional[FrozenSet[int]] = None  # leaves only
+
+
+@dataclass
+class QDTree:
+    root: QDNode
+    leaf_docs: List[FrozenSet[int]]
+
+    def save(self, path: str) -> None:
+        with open(path, "wb") as f:
+            pickle.dump(self, f)
+
+    @staticmethod
+    def load(path: str) -> "QDTree":
+        with open(path, "rb") as f:
+            return pickle.load(f)
+
+    def route(self, accessible: Set[int], qvec: Optional[np.ndarray],
+              prune_by_centroid: bool = True) -> List[int]:
+        """Leaves reachable for a user with `accessible` docs, pruned along
+        centroid predicates by the query vector's side."""
+        out: List[int] = []
+
+        def walk(node: QDNode):
+            if node.leaf_id >= 0:
+                if node.docs & accessible:
+                    out.append(node.leaf_id)
+                return
+            kind = node.pred[0]
+            if kind == "centroid" and prune_by_centroid and qvec is not None:
+                _, lc, rc = node.pred
+                dl = float(((qvec - lc) ** 2).sum())
+                dr = float(((qvec - rc) ** 2).sum())
+                walk(node.left if dl <= dr else node.right)
+                return
+            walk(node.left)
+            walk(node.right)
+
+        walk(self.root)
+        return out
+
+
+def _split_score(
+    left: Set[int], right: Set[int], query_docsets: Sequence[FrozenSet[int]]
+) -> float:
+    """Expected visited volume over the sampled workload, tie-broken by
+    balance (reference find_best_split: query-overlap cost then balance)."""
+    cost = 0
+    for qd in query_docsets:
+        if qd & left:
+            cost += len(left)
+        if qd & right:
+            cost += len(right)
+    balance = abs(len(left) - len(right)) / max(len(left) + len(right), 1)
+    return cost * (1.0 + 0.1 * balance)
+
+
+def build_qd_tree(
+    corpus: Corpus,
+    world: RBACWorld,
+    query_docsets: Sequence[FrozenSet[int]],
+    min_leaf: int = 64,
+    max_depth: int = 8,
+    n_candidate_roles: int = 16,
+    seed: int = 0,
+) -> QDTree:
+    rng = np.random.default_rng(seed)
+    # document representative vectors: mean of the doc's blocks
+    offs = corpus.doc_row_offsets
+    order = corpus.doc_row_index
+    doc_means = np.zeros((corpus.num_docs, corpus.dim), dtype=np.float32)
+    for doc in range(corpus.num_docs):
+        rowsd = order[offs[doc]:offs[doc + 1]]
+        if len(rowsd):
+            doc_means[doc] = corpus.vectors[rowsd].mean(axis=0)
+
+    leaf_docs: List[FrozenSet[int]] = []
+
+    def split(docs: Set[int], depth: int) -> QDNode:
+        if len(docs) <= min_leaf or depth >= max_depth:
+            return _leaf(docs)
+
+        best: Tuple[float, Optional[tuple], Set[int], Set[int]] = (
+            float("inf"), None, set(), set(),
+        )
+        # role predicates: sample candidate roles that actually split
+        roles = list(world.role_to_docs.keys())
+        rng.shuffle(roles)
+        tried = 0
+        for r in roles:
+            rdocs = world.role_to_docs[r]
+            left = docs & rdocs
+            if not left or left == docs:
+                continue
+            right = docs - left
+            sc = _split_score(left, right, query_docsets)
+            if sc < best[0]:
+                best = (sc, ("role", r), left, right)
+            tried += 1
+            if tried >= n_candidate_roles:
+                break
+
+        # centroid predicate: 2-means on doc means
+        dlist = np.fromiter(docs, dtype=np.int64, count=len(docs))
+        pts = doc_means[dlist]
+        if len(dlist) >= 4:
+            c = pts[rng.choice(len(dlist), 2, replace=False)].copy()
+            for _ in range(8):
+                d0 = ((pts - c[0]) ** 2).sum(1)
+                d1 = ((pts - c[1]) ** 2).sum(1)
+                a = d0 <= d1
+                if a.all() or (~a).all():
+                    break
+                c[0] = pts[a].mean(0)
+                c[1] = pts[~a].mean(0)
+            d0 = ((pts - c[0]) ** 2).sum(1)
+            d1 = ((pts - c[1]) ** 2).sum(1)
+            a = d0 <= d1
+            if 0 < a.sum() < len(a):
+                left = set(dlist[a].tolist())
+                right = docs - left
+                sc = _split_score(left, right, query_docsets)
+                if sc < best[0]:
+                    best = (sc, ("centroid", c[0].copy(), c[1].copy()), left, right)
+
+        if best[1] is None:
+            return _leaf(docs)
+        _, pred, left, right = best
+        node = QDNode(pred=pred)
+        node.left = split(left, depth + 1)
+        node.right = split(right, depth + 1)
+        return node
+
+    def _leaf(docs: Set[int]) -> QDNode:
+        leaf = QDNode(leaf_id=len(leaf_docs), docs=frozenset(docs))
+        leaf_docs.append(frozenset(docs))
+        return leaf
+
+    root = split(set(range(corpus.num_docs)), 0)
+    logger.info("qd-tree: %d leaves", len(leaf_docs))
+    return QDTree(root=root, leaf_docs=leaf_docs)
+
+
+def validate_qdtree_partitions(tree: QDTree, world: RBACWorld) -> None:
+    """Leaves must partition the document space exactly (reference
+    controller/baseline/HQI/debug/validate_qdtree_partitions.py)."""
+    seen: Set[int] = set()
+    for docs in tree.leaf_docs:
+        assert not (docs & seen), "leaf overlap"
+        seen |= docs
+    assert seen == set(range(world.num_docs)), "leaves do not cover all docs"
+
+
+def build_qdtree_searcher(
+    corpus: Corpus,
+    world: RBACWorld,
+    arena: DeviceArena,
+    cfg: FrameworkConfig,
+    workload=None,
+    min_leaf: int = 64,
+    max_depth: int = 8,
+    prune_by_centroid: bool = False,
+    tree: Optional[QDTree] = None,
+) -> PartitionedSearcher:
+    if tree is None:
+        if workload is not None:
+            users = np.unique(workload.user_ids)[:64]
+            query_docsets = [world.user_docs(int(u)) for u in users]
+        else:
+            query_docsets = [world.comb_docs(c) for c in world.combs[:64]]
+        tree = build_qd_tree(corpus, world, query_docsets,
+                             min_leaf=min_leaf, max_depth=max_depth,
+                             seed=cfg.seed)
+    validate_qdtree_partitions(tree, world)
+
+    partitions: Dict[int, BuiltPartition] = {}
+    for pid, docs in enumerate(tree.leaf_docs):
+        rows = corpus.rows_for_docs(np.fromiter(docs, dtype=np.int64, count=len(docs)))
+        if len(rows) == 0:
+            continue
+        partitions[pid] = BuiltPartition(
+            pid=pid, rows=rows,
+            index=make_partition_index(arena, rows, cfg),
+            label=f"qdtree_{pid}",
+        )
+
+    user_docs_cache: Dict[int, Set[int]] = {}
+
+    def vector_router(uid: int, qvec: Optional[np.ndarray]):
+        if uid not in user_docs_cache:
+            user_docs_cache[uid] = set(world.user_docs(uid))
+        pids = tree.route(user_docs_cache[uid], qvec, prune_by_centroid)
+        return tuple(p for p in pids if p in partitions)
+
+    searcher = PartitionedSearcher(
+        arena, partitions, router=lambda uid: vector_router(uid, None),
+        name="qdtree",
+    )
+    searcher.vector_router = vector_router
+    searcher.tree = tree
+    return searcher
