@@ -34,14 +34,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true", help="tiny fast run")
     ap.add_argument("--n", type=int, default=1_000_000)
-    ap.add_argument("--queries", type=int, default=1024)
+    ap.add_argument("--queries", type=int, default=4096)
     ap.add_argument("--topk", type=int, default=100)
     ap.add_argument("--strategy", default="rls",
                     choices=["rls", "role", "user", "dynamic", "qdtree"])
     ap.add_argument("--index", default="flat_approx",
                     choices=["flat", "flat_approx", "ivf", "hnsw"])
     ap.add_argument("--dtype", default="bfloat16")
-    ap.add_argument("--block-rows", type=int, default=65536)
+    ap.add_argument("--block-rows", type=int, default=131072)
     ap.add_argument("--dataset", default="sift1m")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
@@ -78,7 +78,7 @@ def main():
 
     cfg = FrameworkConfig(seed=args.seed)
     cfg.search.block_rows = args.block_rows
-    cfg.search.batch_size = 256
+    cfg.search.batch_size = args.queries if args.strategy == "rls" else 1024
     cfg.search.topk = args.topk
     cfg.search.dtype = args.dtype
     cfg.index.kind = args.index
@@ -92,7 +92,8 @@ def main():
     gt_arena = arena if args.dtype == "float32" else build_device_arena(
         corpus, world, block_rows=args.block_rows, dtype="float32")
     oracle = GroundTruthOracle(gt_arena, cache_dir="artifacts",
-                               block_rows=args.block_rows, query_batch=256)
+                               block_rows=min(args.block_rows, 65536),
+                               query_batch=1024)
 
     workload = generate_query_workload(
         corpus, world, num_queries=args.queries, topk=args.topk,

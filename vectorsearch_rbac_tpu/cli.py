@@ -65,6 +65,8 @@ def cmd_prepare(args) -> None:
                   seed=args.seed)
     if args.generator == "erbac":
         kwargs["n_froles"] = args.num_roles
+    elif args.generator == "arxiv_business":
+        kwargs["num_categories"] = args.num_roles
     else:
         kwargs["num_roles"] = args.num_roles
     world = gen_cls(**kwargs).generate()
@@ -230,7 +232,8 @@ def main(argv=None) -> None:
     sp.add_argument("--dataset-path", default="")
     sp.add_argument("--n", type=int, default=1_000_000)
     sp.add_argument("--generator", default="tree",
-                    choices=["tree", "sharing_tree", "erbac", "random"])
+                    choices=["tree", "sharing_tree", "erbac", "random",
+                             "arxiv_business"])
     sp.add_argument("--num-roles", type=int, default=100)
     sp.add_argument("--num-users", type=int, default=10_000)
     sp.add_argument("--seed", type=int, default=0)

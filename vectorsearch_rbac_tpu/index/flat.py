@@ -56,7 +56,7 @@ class FlatIndex:
         mode: str = "exact",
         query_batch: int = 256,
         dtype: Optional[str] = None,  # compute dtype of gathered partitions
-        recall_target: float = 0.99,  # per-block PartialReduce target (approx mode)
+        recall_target: float = 0.95,  # per-block PartialReduce target (approx mode)
     ):
         import jax
         import jax.numpy as jnp

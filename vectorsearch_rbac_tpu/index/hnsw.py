@@ -76,6 +76,7 @@ class HNSWIndex:
         knn_k: int = 32,
         alpha: float = 1.2,
         seed: int = 0,
+        graph_state: Optional[dict] = None,  # from .graph_state(): skip build
     ):
         import jax
         import jax.numpy as jnp
@@ -108,7 +109,13 @@ class HNSWIndex:
         t0 = time.perf_counter()
         from .. import native
 
-        if builder == "classic":
+        if graph_state is not None:
+            # resume from a persisted graph (utils/persist.py npz state —
+            # the reference's .faiss / custom binary graph files analog)
+            nbr = np.asarray(graph_state["neighbors"], dtype=np.int32)
+            entry = int(graph_state["entry"])
+            assert nbr.shape[0] == n, "graph state does not match row set"
+        elif builder == "classic":
             if native.available():
                 nbr, levels, entry, _ = native.hnsw_build(
                     vec, m=m, ef_construction=ef_construction, seed=seed
@@ -152,6 +159,13 @@ class HNSWIndex:
             "HNSW built (%s): %d rows, M0=%d (avg deg %.1f), %.2fs",
             builder, n, m0, avg_deg, self.build_time_s,
         )
+
+    def graph_state(self) -> dict:
+        """Persistable graph (pair with utils.persist.save_npz)."""
+        return {
+            "neighbors": np.asarray(self._graph)[: self.n_rows],
+            "entry": np.asarray([self.entry], dtype=np.int32),
+        }
 
     # ------------------------------------------------------------- search
 

@@ -45,6 +45,7 @@ def make_partition_index(
             block_rows=cfg.search.block_rows,
             mode="approx",
             query_batch=cfg.search.batch_size,
+            recall_target=cfg.search.recall_target,
         )
     if kind == "ivf":
         from ..index.ivf import IVFIndex
@@ -86,10 +87,13 @@ class PartitionedSearcher:
         router: Callable[[int], Sequence[int]],
         name: str,
     ):
+        from ..utils.tracing import StageTimer
+
         self.arena = arena
         self.partitions = partitions
         self.router = router
         self.name = name
+        self.timer = StageTimer()
 
     # ------------------------------------------------------------- search
 
@@ -115,60 +119,66 @@ class PartitionedSearcher:
         vrouter = getattr(self, "vector_router", None)
         pid_to_queries: Dict[int, List[int]] = {}
         per_query_pids: List[Sequence[int]] = []
-        for qi in range(nq):
-            if vrouter is not None:
-                pids = vrouter(int(user_ids[qi]), queries[qi])
-            else:
-                pids = self.router(int(user_ids[qi]))
-            per_query_pids.append(pids)
-            for pid in pids:
-                pid_to_queries.setdefault(pid, []).append(qi)
+        with self.timer.stage("route"):
+            for qi in range(nq):
+                if vrouter is not None:
+                    pids = vrouter(int(user_ids[qi]), queries[qi])
+                else:
+                    pids = self.router(int(user_ids[qi]))
+                per_query_pids.append(pids)
+                for pid in pids:
+                    pid_to_queries.setdefault(pid, []).append(qi)
 
         # run each touched partition once over all its queries; partitions
         # supporting deferred dispatch are all enqueued before the first
         # sync so their device scans pipeline back-to-back
         part_results: Dict[int, Tuple[np.ndarray, np.ndarray, Dict[int, int]]] = {}
         deferred: Dict[int, object] = {}
-        for pid, qidx in pid_to_queries.items():
-            part = self.partitions[pid]
-            if hasattr(part.index, "search_deferred"):
-                deferred[pid] = part.index.search_deferred(
-                    queries[qidx], qmasks[qidx], k
-                )
-            else:
-                d, i = part.index.search(queries[qidx], qmasks[qidx], k)
+        with self.timer.stage("device_scan"):
+            for pid, qidx in pid_to_queries.items():
+                part = self.partitions[pid]
+                if hasattr(part.index, "search_deferred"):
+                    deferred[pid] = part.index.search_deferred(
+                        queries[qidx], qmasks[qidx], k
+                    )
+                else:
+                    d, i = part.index.search(queries[qidx], qmasks[qidx], k)
+                    pos = {qi: j for j, qi in enumerate(qidx)}
+                    part_results[pid] = (d, i, pos)
+            for pid, fin in deferred.items():
+                d, i = fin()
+                qidx = pid_to_queries[pid]
                 pos = {qi: j for j, qi in enumerate(qidx)}
                 part_results[pid] = (d, i, pos)
-        for pid, fin in deferred.items():
-            d, i = fin()
-            qidx = pid_to_queries[pid]
-            pos = {qi: j for j, qi in enumerate(qidx)}
-            part_results[pid] = (d, i, pos)
 
         # per-query merge across partitions with row-id dedupe; the common
         # single-partition case (rls/user strategies, single-role users)
-        # skips the merge entirely
+        # is a vectorized copy, no merge
         out_d = np.full((nq, k), np.inf)
         out_i = np.full((nq, k), -1, dtype=np.int64)
-        for qi in range(nq):
-            pids = per_query_pids[qi]
-            if not pids:
-                continue
-            if len(pids) == 1:
-                d, i, pos = part_results[pids[0]]
-                j = pos[qi]
-                out_d[qi] = d[j]
-                out_i[qi] = i[j]
-                continue
-            ds, is_ = [], []
-            for pid in pids:
+        with self.timer.stage("merge"):
+            single_by_pid: Dict[int, List[int]] = {}
+            multi: List[int] = []
+            for qi, pids in enumerate(per_query_pids):
+                if len(pids) == 1:
+                    single_by_pid.setdefault(pids[0], []).append(qi)
+                elif pids:
+                    multi.append(qi)
+            for pid, qis in single_by_pid.items():
                 d, i, pos = part_results[pid]
-                j = pos[qi]
-                ds.append(d[j:j + 1])
-                is_.append(i[j:j + 1])
-            md, mi = merge_topk_host(ds, is_, k)
-            out_d[qi] = md[0]
-            out_i[qi] = mi[0]
+                rows = [pos[qi] for qi in qis]
+                out_d[qis] = d[rows]
+                out_i[qis] = i[rows]
+            for qi in multi:
+                ds, is_ = [], []
+                for pid in per_query_pids[qi]:
+                    d, i, pos = part_results[pid]
+                    j = pos[qi]
+                    ds.append(d[j:j + 1])
+                    is_.append(i[j:j + 1])
+                md, mi = merge_topk_host(ds, is_, k)
+                out_d[qi] = md[0]
+                out_i[qi] = mi[0]
         return out_d, out_i
 
     def search_user(

@@ -2,12 +2,14 @@ from .tree import TreeRBACGenerator
 from .sharing_tree import SharingTreeRBACGenerator
 from .erbac import ERBACGenerator
 from .random_gen import RandomRBACGenerator
+from .arxiv_business import ArxivBusinessRBACGenerator
 
 GENERATORS = {
     "tree": TreeRBACGenerator,
     "sharing_tree": SharingTreeRBACGenerator,
     "erbac": ERBACGenerator,
     "random": RandomRBACGenerator,
+    "arxiv_business": ArxivBusinessRBACGenerator,
 }
 
 __all__ = [
@@ -15,5 +17,6 @@ __all__ = [
     "SharingTreeRBACGenerator",
     "ERBACGenerator",
     "RandomRBACGenerator",
+    "ArxivBusinessRBACGenerator",
     "GENERATORS",
 ]

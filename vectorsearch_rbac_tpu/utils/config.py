@@ -27,6 +27,7 @@ class SearchConfig:
     batch_size: int = 256        # queries per device dispatch
     block_rows: int = 16384      # arena rows per scan block
     dtype: str = "float32"       # compute dtype for distance scans
+    recall_target: float = 0.95  # per-block PartialReduce target (approx scans)
 
 
 @dataclass
