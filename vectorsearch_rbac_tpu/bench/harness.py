@@ -69,10 +69,13 @@ def run_benchmark(
     for _ in range(warmup_runs):
         searcher.search_batch(q, users, masks, k)
 
-    # throughput: one timed pass over the full workload
-    t0 = time.perf_counter()
-    dists, ids = searcher.search_batch(q, users, masks, k)
-    wall = time.perf_counter() - t0
+    # throughput: median of three timed passes over the full workload
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        dists, ids = searcher.search_batch(q, users, masks, k)
+        walls.append(time.perf_counter() - t0)
+    wall = float(np.median(walls))
 
     # latency distribution: micro-batches of queries through the same path
     nq = workload.num_queries
@@ -98,6 +101,10 @@ def run_benchmark(
         avg_block_selectivity=float(np.mean(workload.selectivities)),
         storage=searcher.storage_report(),
         build_time_s=build_time_s,
+        extra={
+            f"stage_{name}_ms": stats["mean_ms"]
+            for name, stats in getattr(searcher, "timer", None).report().items()
+        } if getattr(searcher, "timer", None) else {},
     )
     logger.info(
         "%s: recall@%d=%.4f qps=%.1f avg=%.3fms storage=%.1fMB",

@@ -32,6 +32,71 @@ from .flat import _pad_to_bucket
 logger = get_logger("index.hnsw")
 
 
+def _device_knn_graph_ivf(vec: np.ndarray, k: int, seed: int = 0) -> np.ndarray:
+    """Approximate kNN graph via IVF probing — the scalable graph-build
+    path: cluster once with device k-means, then find each row's neighbors
+    among its nprobe nearest lists. ~O(N * nprobe * N/nlist * d) MXU work
+    instead of O(N^2 d); the alpha-RNG prune downstream tolerates the
+    approximation (Vamana-style builds start from approximate kNN)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.ivf_scan import ivf_search_fn
+    from ..ops.kmeans import assign_clusters, kmeans_fit, kmeans_init
+
+    n, d = vec.shape
+    nlist = max(16, int(np.sqrt(n)))
+    nprobe = 6
+    rng = np.random.default_rng(seed)
+    sample = vec if n <= 200_000 else vec[rng.choice(n, 200_000, replace=False)]
+    cents, _ = kmeans_fit(jnp.asarray(sample),
+                          jnp.asarray(kmeans_init(sample, nlist, seed)), iters=8)
+    assign = np.asarray(assign_clusters(jnp.asarray(vec), cents))
+
+    # padded inverted lists (no permission bits needed: all-ones)
+    counts = np.bincount(assign, minlength=nlist)
+    l_pad = max(8, int(np.quantile(counts, 0.99)) // 8 * 8 + 8)
+    lists: list[list[int]] = [[] for _ in range(nlist)]
+    spill = []
+    for i, c in enumerate(assign.tolist()):
+        (lists[c] if len(lists[c]) < l_pad else spill).append(i)
+    for i in spill:  # round-robin spill to any list with space
+        for c in np.argsort([len(x) for x in lists])[:1]:
+            lists[int(c)].append(i)
+
+    inv_vec = np.zeros((nlist, l_pad, d), dtype=np.float32)
+    inv_norm = np.full((nlist, l_pad), 3e37, dtype=np.float32)
+    inv_bits = np.zeros((nlist, l_pad, 1), dtype=np.uint32)
+    inv_rows = np.full((nlist, l_pad), -1, dtype=np.int32)
+    norms = np.einsum("nd,nd->n", vec, vec)
+    for c, members in enumerate(lists):
+        mm = np.asarray(members[:l_pad], dtype=np.int64)
+        inv_vec[c, : len(mm)] = vec[mm]
+        inv_norm[c, : len(mm)] = norms[mm]
+        inv_bits[c, : len(mm), 0] = 1
+        inv_rows[c, : len(mm)] = mm.astype(np.int32)
+
+    dv = jax.device_put(inv_vec.astype(jnp.bfloat16))
+    dn = jax.device_put(inv_norm)
+    db = jax.device_put(inv_bits)
+    dr = jax.device_put(inv_rows)
+    masks = np.ones((4096, 1), dtype=np.uint32)
+    dm = jax.device_put(masks)
+
+    out = np.empty((n, k + 1), dtype=np.int32)
+    pending = []
+    for s in range(0, n, 4096):
+        e = min(s + 4096, n)
+        qb = np.zeros((4096, d), dtype=np.float32)
+        qb[: e - s] = vec[s:e]
+        _, ids = ivf_search_fn(jnp.asarray(qb), cents, dv, dn, db, dr, dm,
+                               k + 1, nprobe)
+        pending.append((s, e, ids))
+    for s, e, ids in pending:
+        out[s:e] = np.asarray(ids)[: e - s]
+    return out
+
+
 def _device_knn_graph(vec: np.ndarray, k: int, block: int = 4096) -> np.ndarray:
     """Exact kNN graph via blockwise device matmuls (the MXU-native part of
     the tpu builder)."""
@@ -125,7 +190,10 @@ class HNSWIndex:
         elif builder == "tpu":
             if not native.available():
                 raise RuntimeError("tpu builder needs the native prune library")
-            knn = _device_knn_graph(vec, k=knn_k)
+            if n > 200_000:  # quadratic exact kNN too costly: IVF-assisted
+                knn = _device_knn_graph_ivf(vec, k=knn_k, seed=seed)
+            else:
+                knn = _device_knn_graph(vec, k=knn_k)
             nbr = native.rng_prune(vec, knn[:, 1:], m=m, alpha=alpha)
             entry = int(knn[np.random.default_rng(seed).integers(n), 0])
             # entry: medoid-ish — node closest to the mean
