@@ -34,7 +34,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true", help="tiny fast run")
     ap.add_argument("--n", type=int, default=1_000_000)
-    ap.add_argument("--queries", type=int, default=4096)
+    ap.add_argument("--queries", type=int, default=16384)
     ap.add_argument("--topk", type=int, default=100)
     ap.add_argument("--strategy", default="rls",
                     choices=["rls", "role", "user", "dynamic", "qdtree"])
@@ -78,7 +78,7 @@ def main():
 
     cfg = FrameworkConfig(seed=args.seed)
     cfg.search.block_rows = args.block_rows
-    cfg.search.batch_size = args.queries if args.strategy == "rls" else 1024
+    cfg.search.batch_size = 4096 if args.strategy == "rls" else 1024
     cfg.search.topk = args.topk
     cfg.search.dtype = args.dtype
     cfg.index.kind = args.index
@@ -107,7 +107,8 @@ def main():
 
     res = run_benchmark(searcher, corpus, world, workload, oracle,
                         k=args.topk, warmup_runs=2, timed_batches=8,
-                        build_time_s=build_s + strat_build_s)
+                        build_time_s=build_s + strat_build_s,
+                        recall_sample=2048)
     log(res.to_json())
 
     build_per_1m = (build_s + strat_build_s) * (1_000_000 / max(corpus.n, 1))

@@ -146,3 +146,58 @@ def build_dynamic_searcher(
     searcher = PartitionedSearcher(arena, partitions, router, name="dynamic")
     searcher.plan = plan  # keep for maintenance ops (insert/delete roles)
     return searcher
+
+
+def apply_plan_update(
+    searcher: PartitionedSearcher,
+    corpus: Corpus,
+    world: RBACWorld,
+    cfg: FrameworkConfig,
+    new_plan: PartitionPlan,
+) -> PartitionedSearcher:
+    """Incremental re-materialization after a plan change (role insert or
+    delete): rebuild only partitions whose document sets changed (the
+    reference's incremental reload skips unchanged documentblocks_partition_*
+    tables, load_result_to_database.py:114-188)."""
+    old_plan: PartitionPlan = searcher.plan
+    arena = searcher.arena
+    partitions: Dict[int, BuiltPartition] = {}
+    rebuilt = 0
+    for pid, docs in sorted(new_plan.assignment.items()):
+        if not docs:
+            continue
+        old = searcher.partitions.get(pid)
+        if old is not None and old_plan.assignment.get(pid) == docs:
+            partitions[pid] = old  # unchanged: reuse device arrays + index
+            continue
+        rows = corpus.rows_for_docs(np.fromiter(docs, dtype=np.int64, count=len(docs)))
+        if len(rows) == 0:
+            continue
+        partitions[pid] = BuiltPartition(
+            pid=pid, rows=rows,
+            index=make_partition_index(arena, rows, cfg),
+            label=f"dynamic_{pid}",
+        )
+        rebuilt += 1
+    logger.info("plan update: %d partitions rebuilt, %d reused",
+                rebuilt, len(partitions) - rebuilt)
+
+    comb_to_pids = {
+        comb: tuple(sorted(p for p in parts if p in partitions))
+        for comb, parts in new_plan.trackers.items()
+    }
+    user_to_roles = world.user_to_roles
+
+    def router(uid: int):
+        comb = tuple(user_to_roles.get(uid, ()))
+        pids = comb_to_pids.get(comb)
+        if pids:
+            return pids
+        acc = []
+        for r in comb:
+            acc.extend(comb_to_pids.get((r,), ()))
+        return tuple(sorted(set(acc)))
+
+    out = PartitionedSearcher(arena, partitions, router, name="dynamic")
+    out.plan = new_plan
+    return out
