@@ -33,3 +33,18 @@ def test_cli_pipeline(tmp_path):
         with open(out) as f:
             res = json.load(f)
         assert res[-1]["avg_recall"] == 1.0, f"{algo}: {res[-1]}"
+
+
+def test_cli_fit_params(tmp_path):
+    art = str(tmp_path)
+    base = ["--artifacts", art]
+    main(base + ["prepare", "--dataset", "synthetic", "--n", "2000",
+                 "--generator", "tree", "--num-roles", "8",
+                 "--num-users", "40", "--seed", "4"])
+    main(base + ["fit-params", "--index", "ivf", "--efs", "2", "4", "8", "16",
+                 "--topk", "5", "--num-queries", "24", "--nlist", "32",
+                 "--block-rows", "512"])
+    with open(os.path.join(art, "parameter_model.json")) as f:
+        params = json.load(f)
+    assert set(params) >= {"k", "beta", "a", "b"}
+    assert os.path.exists(os.path.join(art, "model_validation.json"))

@@ -158,6 +158,60 @@ def cmd_plan_dynamic(args) -> None:
                 len(plan.assignment), time.perf_counter() - t0, args.storage)
 
 
+def cmd_fit_params(args) -> None:
+    """Fit (k, beta, a, b) by sweeping the index's search-width knob against
+    exact ground truth — replaces the reference's EXPLAIN ANALYZE fitting
+    pipeline (controller/dynamic_partition/get_parameter.py:135-185,
+    analysis_hnsw_recall.py / analysis_hnsw_qps.py); results cached like
+    parameter_hnsw.json (AnonySys_dynamic_partition.py:795-832)."""
+    import numpy as np
+
+    from .bench import GroundTruthOracle, generate_query_workload
+    from .core import build_device_arena
+    from .index.hnsw import HNSWIndex
+    from .index.ivf import IVFIndex
+    from .models.validate import fit_from_sweep, sweep_search_width, validate_models
+    from .utils.persist import save_params
+
+    state = _load_state(args)
+    world = state["world"]
+    corpus = _corpus_from_state(state)
+    arena = build_device_arena(corpus, world, block_rows=args.block_rows,
+                               dtype=args.dtype)
+
+    wl = generate_query_workload(corpus, world, num_queries=args.num_queries,
+                                 topk=args.topk,
+                                 query_pool=state.get("query_pool"),
+                                 seed=state["seed"] + 2)
+    gt_arena = arena if args.dtype == "float32" else build_device_arena(
+        corpus, world, block_rows=args.block_rows, dtype="float32")
+    oracle = GroundTruthOracle(gt_arena, cache_dir=args.artifacts,
+                               block_rows=args.block_rows)
+    truth = oracle.compute(corpus, world, wl, args.topk)
+    masks = world.user_masks[wl.user_ids]
+
+    if args.index == "hnsw":
+        idx = HNSWIndex(arena, m=16, ef_construction=64, query_batch=1024)
+        search_fn = lambda q, m, k, ef: idx.search(q, m, k, ef_search=ef)
+    else:
+        idx = IVFIndex(arena, nlist=args.nlist, query_batch=1024,
+                       seed=state["seed"])
+        search_fn = lambda q, m, k, ef: idx.search(q, m, k, nprobe=ef)
+
+    sweep = sweep_search_width(search_fn, wl.vectors, masks, truth,
+                               args.topk, args.efs)
+    sel = float(np.mean(wl.selectivities))
+    params = fit_from_sweep(sweep, topk=args.topk, sel=sel, n_vectors=corpus.n)
+    report = validate_models(sweep, params, topk=args.topk, sel=sel,
+                             n_vectors=corpus.n)
+    save_params(params, _art(args, "parameter_model.json"))
+    with open(_art(args, "model_validation.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    logger.info("fitted k=%.3f beta=%.4f a=%.4g b=%.4g (recall MAE %.3f)",
+                params.k, params.beta, params.a, params.b,
+                report["recall_mae"])
+
+
 def cmd_test(args) -> None:
     """Replaces basic_benchmark/test_all.py: one algorithm, one ef sweep."""
     import jax  # noqa: F401  (device init)
@@ -252,6 +306,17 @@ def main(argv=None) -> None:
     sd.add_argument("--recall", type=float, default=None)
     sd.add_argument("--topk", type=int, default=10)
     sd.set_defaults(fn=cmd_plan_dynamic)
+
+    sf = sub.add_parser("fit-params")
+    sf.add_argument("--index", default="hnsw", choices=["hnsw", "ivf"])
+    sf.add_argument("--efs", type=int, nargs="+",
+                    default=[8, 16, 32, 64, 128, 256])
+    sf.add_argument("--topk", type=int, default=10)
+    sf.add_argument("--num-queries", type=int, default=256)
+    sf.add_argument("--nlist", type=int, default=256)
+    sf.add_argument("--dtype", default="float32")
+    sf.add_argument("--block-rows", type=int, default=16384)
+    sf.set_defaults(fn=cmd_fit_params)
 
     st = sub.add_parser("test")
     st.add_argument("--algorithm", required=True,
