@@ -42,7 +42,8 @@ def main():
                     choices=["flat", "flat_approx", "ivf", "hnsw"])
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--block-rows", type=int, default=131072)
-    ap.add_argument("--dataset", default="sift1m")
+    ap.add_argument("--dataset", default="sift1m",
+                    choices=["sift1m", "sift10m", "cohere", "synthetic"])
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -90,7 +91,8 @@ def main():
     log(f"arena upload: {build_s:.2f}s ({arena.n_padded} rows, {args.dtype})")
 
     gt_arena = arena if args.dtype == "float32" else build_device_arena(
-        corpus, world, block_rows=args.block_rows, dtype="float32")
+        corpus, world, block_rows=args.block_rows, dtype="float32",
+        with_aug=False)
     oracle = GroundTruthOracle(gt_arena, cache_dir="artifacts",
                                block_rows=min(args.block_rows, 65536),
                                query_batch=1024)

@@ -62,7 +62,8 @@ def test_apply_plan_update_reuses_unchanged(small_world, small_corpus):
     cfg.search.batch_size = 16
     cfg.optimizer.storage_alpha = 2.0
     arena = build_device_arena(small_corpus, small_world, block_rows=128)
-    searcher = build_searcher("dynamic", small_corpus, small_world, arena, cfg)
+    searcher = build_searcher("dynamic", small_corpus, small_world, arena, cfg,
+                              packed=False)
     inputs = PlannerInputs(
         role_to_docs=small_world.role_to_docs, combs=small_world.combs,
         comb_weights=small_world.comb_weights,

@@ -125,6 +125,9 @@ def build_device_arena(
     block_rows: int = 16384,
     dtype: str = "float32",
     device=None,
+    with_aug: bool = True,   # False saves HBM when only the exact
+                             # (non-augmented) path is needed, e.g. the
+                             # ground-truth oracle arena at 10M scale
 ) -> DeviceArena:
     """Upload the corpus once into HBM, padded to a block multiple."""
     import jax
@@ -150,7 +153,10 @@ def build_device_arena(
         host_vectors=vecs,
         host_norms=norms,
         host_bits=bits,
-        vectors_aug=put(augment_with_norms(vecs, norms).astype(jnp.dtype(dtype))),
+        vectors_aug=(
+            put(augment_with_norms(vecs, norms).astype(jnp.dtype(dtype)))
+            if with_aug else None
+        ),
     )
 
 

@@ -114,6 +114,23 @@ def load_sift10m(
     return _group_into_documents(base, blocks_per_doc), queries
 
 
+def cohere_like_corpus(
+    num_vectors: int = 1_000_000,
+    dim: int = 768,
+    blocks_per_doc: int = SIFT_DOCUMENT_VECTOR_COUNT,
+    seed: int = 0,
+) -> Tuple[Corpus, np.ndarray]:
+    """Cohere wikipedia-22-12-shaped synthetic data: unit-normalized dense
+    embeddings (768-d), standing in for the reference's wikipedia dataset
+    (services/read_dataset_function.py wikipedia path) under zero egress."""
+    rng = np.random.default_rng(seed)
+    total = num_vectors + 10_000
+    vecs = rng.standard_normal((total, dim), dtype=np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    corpus = _group_into_documents(vecs[:num_vectors], blocks_per_doc)
+    return corpus, vecs[num_vectors:]
+
+
 def resolve_dataset(
     name: str,
     dataset_path: str = "",
@@ -135,6 +152,8 @@ def resolve_dataset(
         if os.path.isfile(cand):
             return load_sift10m(cand, max_vectors=num_vectors)
         return sift_like_corpus(num_vectors=num_vectors, seed=seed)
+    if name in ("cohere", "wikipedia"):
+        return cohere_like_corpus(num_vectors=num_vectors, seed=seed)
     if name == "synthetic":
         corpus = synthetic_corpus(num_docs=num_vectors // SIFT_DOCUMENT_VECTOR_COUNT,
                                   blocks_per_doc=SIFT_DOCUMENT_VECTOR_COUNT, seed=seed)

@@ -25,18 +25,17 @@ from ..core import DeviceArena
 from ..ops.scan import scan_topk_aug_fn, scan_topk_fn
 
 
+import jax as _jax
+import jax.numpy as _jnp
+
+
+@_jax.jit
 def _map_rows(i, row_map):
-    """Translate local indexes to arena row ids on device (jitted so the
-    gather stays in the async dispatch stream)."""
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def go(i, rmap):
-        safe = jnp.maximum(i, 0)
-        return jnp.where(i < 0, -1, jnp.take(rmap, safe))
-
-    return go(i, row_map)
+    """Translate local indexes to arena row ids on device. Module-level jit:
+    a per-call jax.jit wrapper re-traces every invocation, which through a
+    remote-compile tunnel costs ~0.5s per partition dispatch."""
+    safe = _jnp.maximum(i, 0)
+    return _jnp.where(i < 0, -1, _jnp.take(row_map, safe))
 
 
 def _pad_to_bucket(n: int, block_rows: int) -> int:

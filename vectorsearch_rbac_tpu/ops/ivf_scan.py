@@ -33,6 +33,8 @@ def probed_topk(
     inv_rows: jax.Array,      # (nlist, L_pad) int32 arena row ids, -1 = padding
     query_masks: jax.Array,   # (Q, W) uint32
     k: int,
+    mode: str = "exact",
+    recall_target: float = 0.95,
 ) -> Tuple[jax.Array, jax.Array]:
     """Return (dists (Q, k) true squared-L2 ascending, arena row ids)."""
     q = queries.astype(jnp.float32)
@@ -53,6 +55,10 @@ def probed_topk(
         scores = jnp.where(allowed, scores, INF)
         # per-probe reduction only; one deferred merge outside the scan
         kk = min(k, scores.shape[1])
+        if mode == "approx" and scores.shape[1] >= 4 * kk:
+            bvals, pos = jax.lax.approx_min_k(scores, kk,
+                                              recall_target=recall_target)
+            return None, (bvals, jnp.take_along_axis(rid, pos, axis=1))
         neg_top, pos = jax.lax.top_k(-scores, kk)
         return None, (-neg_top, jnp.take_along_axis(rid, pos, axis=1))
 

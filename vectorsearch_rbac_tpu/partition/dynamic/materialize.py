@@ -92,6 +92,7 @@ def build_dynamic_searcher(
     inputs: Optional[PlannerInputs] = None,
     comb_weights: Optional[Dict[Comb, float]] = None,
     single_role_weights: Optional[Dict[int, float]] = None,
+    packed: bool = True,
 ) -> PartitionedSearcher:
     """Build the AnonySys strategy searcher; plans first if no plan given."""
     if plan is None:
@@ -115,19 +116,14 @@ def build_dynamic_searcher(
             )
         plan = plan_dynamic_partitions(world, inputs)
 
-    partitions: Dict[int, BuiltPartition] = {}
+    partition_rows: Dict[int, np.ndarray] = {}
     for pid, docs in sorted(plan.assignment.items()):
         rows = corpus.rows_for_docs(np.fromiter(docs, dtype=np.int64, count=len(docs)))
-        if len(rows) == 0:
-            continue
-        partitions[pid] = BuiltPartition(
-            pid=pid, rows=rows,
-            index=make_partition_index(arena, rows, cfg),
-            label=f"dynamic_{pid}",
-        )
+        if len(rows):
+            partition_rows[pid] = rows
 
     comb_to_pids: Dict[Comb, Tuple[int, ...]] = {
-        comb: tuple(sorted(p for p in parts if p in partitions))
+        comb: tuple(sorted(p for p in parts if p in partition_rows))
         for comb, parts in plan.trackers.items()
     }
     user_to_roles = world.user_to_roles
@@ -143,6 +139,21 @@ def build_dynamic_searcher(
             acc.extend(comb_to_pids.get((r,), ()))
         return tuple(sorted(set(acc)))
 
+    if packed and cfg.index.kind in ("flat", "flat_approx"):
+        from ..packed import PackedSearcher
+        searcher = PackedSearcher(
+            arena, partition_rows, router, name="dynamic",
+            mode="exact" if cfg.index.kind == "flat" else "approx",
+        )
+        searcher.plan = plan
+        return searcher
+
+    partitions: Dict[int, BuiltPartition] = {
+        pid: BuiltPartition(pid=pid, rows=rows,
+                            index=make_partition_index(arena, rows, cfg),
+                            label=f"dynamic_{pid}")
+        for pid, rows in partition_rows.items()
+    }
     searcher = PartitionedSearcher(arena, partitions, router, name="dynamic")
     searcher.plan = plan  # keep for maintenance ops (insert/delete roles)
     return searcher
@@ -161,6 +172,12 @@ def apply_plan_update(
     tables, load_result_to_database.py:114-188)."""
     old_plan: PartitionPlan = searcher.plan
     arena = searcher.arena
+    if hasattr(searcher, "buckets"):
+        # packed layout: stacked bucket arrays are rebuilt wholesale (host
+        # stacking + one upload — cheap next to index builds); incremental
+        # per-partition reuse applies to the unpacked layout below
+        return build_dynamic_searcher(corpus, world, arena, cfg,
+                                      plan=new_plan, packed=True)
     partitions: Dict[int, BuiltPartition] = {}
     rebuilt = 0
     for pid, docs in sorted(new_plan.assignment.items()):

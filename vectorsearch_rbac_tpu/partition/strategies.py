@@ -44,33 +44,42 @@ def build_global_searcher(
 
 
 def build_role_searcher(
-    corpus: Corpus, world: RBACWorld, arena: DeviceArena, cfg: FrameworkConfig
+    corpus: Corpus, world: RBACWorld, arena: DeviceArena, cfg: FrameworkConfig,
+    packed: bool = True,
 ) -> PartitionedSearcher:
-    """ROLE prefilter: a physical partition per role."""
-    partitions: Dict[int, BuiltPartition] = {}
+    """ROLE prefilter: a physical partition per role. With packed=True all
+    same-sized role partitions answer in one dispatch (partition/packed.py)."""
+    partition_rows: Dict[int, np.ndarray] = {}
     for role, docs in sorted(world.role_to_docs.items()):
         rows = corpus.rows_for_docs(np.fromiter(docs, dtype=np.int64, count=len(docs)))
-        if len(rows) == 0:
-            continue
-        partitions[role] = BuiltPartition(
-            pid=role, rows=rows,
-            index=make_partition_index(arena, rows, cfg),
-            label=f"role_{role}",
-        )
+        if len(rows):
+            partition_rows[role] = rows
 
     user_to_roles = world.user_to_roles
 
     def router(uid: int):
-        return tuple(r for r in user_to_roles.get(uid, ()) if r in partitions)
+        return tuple(r for r in user_to_roles.get(uid, ()) if r in partition_rows)
 
+    if packed and cfg.index.kind in ("flat", "flat_approx"):
+        from .packed import PackedSearcher
+        return PackedSearcher(arena, partition_rows, router, name="role",
+                              mode="exact" if cfg.index.kind == "flat" else "approx")
+
+    partitions = {
+        pid: BuiltPartition(pid=pid, rows=rows,
+                            index=make_partition_index(arena, rows, cfg),
+                            label=f"role_{pid}")
+        for pid, rows in partition_rows.items()
+    }
     return PartitionedSearcher(arena, partitions, router, name="role")
 
 
 def build_comb_searcher(
-    corpus: Corpus, world: RBACWorld, arena: DeviceArena, cfg: FrameworkConfig
+    corpus: Corpus, world: RBACWorld, arena: DeviceArena, cfg: FrameworkConfig,
+    packed: bool = True,
 ) -> PartitionedSearcher:
     """USER prefilter: a physical partition per distinct role combination."""
-    partitions: Dict[int, BuiltPartition] = {}
+    partition_rows: Dict[int, np.ndarray] = {}
     comb_to_pid: Dict[tuple, int] = {}
     for pid, comb in enumerate(world.combs):
         docs = world.comb_docs(comb)
@@ -78,11 +87,7 @@ def build_comb_searcher(
         if len(rows) == 0:
             continue
         comb_to_pid[comb] = pid
-        partitions[pid] = BuiltPartition(
-            pid=pid, rows=rows,
-            index=make_partition_index(arena, rows, cfg),
-            label="comb_" + "_".join(map(str, comb)),
-        )
+        partition_rows[pid] = rows
 
     user_to_roles = world.user_to_roles
 
@@ -90,6 +95,17 @@ def build_comb_searcher(
         pid = comb_to_pid.get(tuple(user_to_roles.get(uid, ())))
         return (pid,) if pid is not None else ()
 
+    if packed and cfg.index.kind in ("flat", "flat_approx"):
+        from .packed import PackedSearcher
+        return PackedSearcher(arena, partition_rows, router, name="user",
+                              mode="exact" if cfg.index.kind == "flat" else "approx")
+
+    partitions = {
+        pid: BuiltPartition(pid=pid, rows=rows,
+                            index=make_partition_index(arena, rows, cfg),
+                            label=f"comb_{pid}")
+        for pid, rows in partition_rows.items()
+    }
     return PartitionedSearcher(arena, partitions, router, name="user")
 
 
