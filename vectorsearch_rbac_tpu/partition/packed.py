@@ -64,7 +64,10 @@ class PackedBucket:
         p = len(parts)
         d = hv.shape[1]
         w = hb.shape[1]
-        inv_vec = np.zeros((p, l_pad, d), dtype=np.float32)
+        dtype = arena.vectors.dtype
+        # allocate directly in the compute dtype: an f32 staging copy of a
+        # (100, 65536, d) ROLE bucket would transiently cost ~3.4 GB host RAM
+        inv_vec = np.zeros((p, l_pad, d), dtype=dtype)
         inv_norm = np.zeros((p, l_pad), dtype=np.float32)
         inv_bits = np.zeros((p, l_pad, w), dtype=np.uint32)
         inv_rows = np.full((p, l_pad), -1, dtype=np.int32)
@@ -72,12 +75,11 @@ class PackedBucket:
         for slot, (pid, rows) in enumerate(sorted(parts.items())):
             m = len(rows)
             self.slot_of_pid[pid] = slot
-            inv_vec[slot, :m] = hv[rows]
+            inv_vec[slot, :m] = hv[rows].astype(dtype)
             inv_norm[slot, :m] = hn[rows]
             inv_bits[slot, :m] = hb[rows]
             inv_rows[slot, :m] = rows.astype(np.int32)
-        dtype = arena.vectors.dtype
-        self._vec = jax.device_put(inv_vec.astype(dtype))
+        self._vec = jax.device_put(inv_vec)
         self._norm = jax.device_put(inv_norm)
         self._bits = jax.device_put(inv_bits)
         self._rows = jax.device_put(inv_rows)
@@ -88,7 +90,13 @@ class PackedBucket:
                         slots: np.ndarray, k: int, query_batch: int = 4096,
                         mode: str = "approx"):
         nq = queries.shape[0]
-        bs = min(query_batch, max(256, 1 << (nq - 1).bit_length()))
+        # the probed scan materializes a (bs, L, d) gather: cap it at ~2 GB
+        d = self._vec.shape[2]
+        itemsize = self._vec.dtype.itemsize
+        gather_cap = max(8, (2 << 30) // max(self.l_pad * d * itemsize, 1))
+        gather_cap = 1 << (gather_cap.bit_length() - 1)  # floor pow2
+        bs = min(query_batch, gather_cap,
+                 max(8, 1 << (max(nq, 1) - 1).bit_length()))
         pending = []
         for s in range(0, nq, bs):
             e = min(s + bs, nq)
@@ -171,12 +179,17 @@ class PackedSearcher:
         if qmasks.shape[0] != nq:
             qmasks = qmasks[user_ids]
 
-        # route: flatten (query, partition) pairs per bucket
+        # route: flatten (query, partition) pairs per bucket; strategies
+        # with vector-dependent routing (qd-tree) expose vector_router
+        vrouter = getattr(self, "vector_router", None)
         with self.timer.stage("route"):
             per_bucket: Dict[int, List[Tuple[int, int]]] = {}
             n_pids: List[int] = []
             for qi in range(nq):
-                pids = self.router(int(user_ids[qi]))
+                if vrouter is not None:
+                    pids = vrouter(int(user_ids[qi]), queries[qi])
+                else:
+                    pids = self.router(int(user_ids[qi]))
                 n_pids.append(len(pids))
                 for pid in pids:
                     bi, slot = self.bucket_of_pid[pid]

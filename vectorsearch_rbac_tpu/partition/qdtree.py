@@ -200,6 +200,7 @@ def build_qdtree_searcher(
     max_depth: int = 8,
     prune_by_centroid: bool = False,
     tree: Optional[QDTree] = None,
+    packed: bool = True,
 ) -> PartitionedSearcher:
     if tree is None:
         if workload is not None:
@@ -212,16 +213,11 @@ def build_qdtree_searcher(
                              seed=cfg.seed)
     validate_qdtree_partitions(tree, world)
 
-    partitions: Dict[int, BuiltPartition] = {}
+    partition_rows: Dict[int, np.ndarray] = {}
     for pid, docs in enumerate(tree.leaf_docs):
         rows = corpus.rows_for_docs(np.fromiter(docs, dtype=np.int64, count=len(docs)))
-        if len(rows) == 0:
-            continue
-        partitions[pid] = BuiltPartition(
-            pid=pid, rows=rows,
-            index=make_partition_index(arena, rows, cfg),
-            label=f"qdtree_{pid}",
-        )
+        if len(rows):
+            partition_rows[pid] = rows
 
     user_docs_cache: Dict[int, Set[int]] = {}
 
@@ -229,8 +225,25 @@ def build_qdtree_searcher(
         if uid not in user_docs_cache:
             user_docs_cache[uid] = set(world.user_docs(uid))
         pids = tree.route(user_docs_cache[uid], qvec, prune_by_centroid)
-        return tuple(p for p in pids if p in partitions)
+        return tuple(p for p in pids if p in partition_rows)
 
+    if packed and cfg.index.kind in ("flat", "flat_approx"):
+        from .packed import PackedSearcher
+        searcher = PackedSearcher(
+            arena, partition_rows,
+            router=lambda uid: vector_router(uid, None), name="qdtree",
+            mode="exact" if cfg.index.kind == "flat" else "approx",
+        )
+        searcher.vector_router = vector_router
+        searcher.tree = tree
+        return searcher
+
+    partitions: Dict[int, BuiltPartition] = {
+        pid: BuiltPartition(pid=pid, rows=rows,
+                            index=make_partition_index(arena, rows, cfg),
+                            label=f"qdtree_{pid}")
+        for pid, rows in partition_rows.items()
+    }
     searcher = PartitionedSearcher(
         arena, partitions, router=lambda uid: vector_router(uid, None),
         name="qdtree",
