@@ -84,33 +84,42 @@ def main():
     cfg.search.dtype = args.dtype
     cfg.index.kind = args.index
 
-    # serving arena (compute dtype) + float32 oracle arena
-    t0 = time.perf_counter()
-    arena = build_device_arena(corpus, world, block_rows=args.block_rows, dtype=args.dtype)
-    build_s = time.perf_counter() - t0
-    log(f"arena upload: {build_s:.2f}s ({arena.n_padded} rows, {args.dtype})")
-
-    gt_arena = arena if args.dtype == "float32" else build_device_arena(
-        corpus, world, block_rows=args.block_rows, dtype="float32",
-        with_aug=False)
-    oracle = GroundTruthOracle(gt_arena, cache_dir="artifacts",
-                               block_rows=min(args.block_rows, 65536),
-                               query_batch=1024)
-
     workload = generate_query_workload(
         corpus, world, num_queries=args.queries, topk=args.topk,
         zipf_param=0, query_pool=query_pool, seed=args.seed + 1,
     )
+
+    # phase A: exact ground truth on the float32 oracle arena, then free it
+    # so the serving arena fits at 10M scale (sequential HBM phases)
+    from vectorsearch_rbac_tpu.bench.harness import compute_truth_sample
+    import gc
+    gt_arena = build_device_arena(corpus, world, block_rows=min(args.block_rows, 65536),
+                                  dtype="float32", with_aug=False)
+    oracle = GroundTruthOracle(gt_arena, cache_dir="artifacts",
+                               block_rows=min(args.block_rows, 65536),
+                               query_batch=1024)
+    t0 = time.perf_counter()
+    truth = compute_truth_sample(oracle, corpus, world, workload, args.topk,
+                                 recall_sample=2048)
+    log(f"ground truth: {time.perf_counter() - t0:.1f}s")
+    del oracle, gt_arena
+    gc.collect()
+
+    # phase B: serving arena (compute dtype)
+    t0 = time.perf_counter()
+    arena = build_device_arena(corpus, world, block_rows=args.block_rows, dtype=args.dtype)
+    build_s = time.perf_counter() - t0
+    log(f"arena upload: {build_s:.2f}s ({arena.n_padded} rows, {args.dtype})")
 
     t0 = time.perf_counter()
     searcher = build_searcher(args.strategy, corpus, world, arena, cfg)
     strat_build_s = time.perf_counter() - t0
     log(f"strategy '{args.strategy}' build: {strat_build_s:.2f}s")
 
-    res = run_benchmark(searcher, corpus, world, workload, oracle,
+    res = run_benchmark(searcher, corpus, world, workload, None,
                         k=args.topk, warmup_runs=2, timed_batches=8,
                         build_time_s=build_s + strat_build_s,
-                        recall_sample=2048)
+                        recall_sample=2048, truth=truth)
     log(res.to_json())
 
     build_per_1m = (build_s + strat_build_s) * (1_000_000 / max(corpus.n, 1))

@@ -49,6 +49,24 @@ class BenchmarkResult:
         return json.dumps(dataclasses.asdict(self), indent=2)
 
 
+def compute_truth_sample(
+    oracle: GroundTruthOracle,
+    corpus: Corpus,
+    world: RBACWorld,
+    workload: QueryWorkload,
+    k: int,
+    recall_sample: Optional[int] = 2048,
+) -> np.ndarray:
+    """Exact ground truth for the first recall_sample queries."""
+    ns = min(recall_sample or workload.num_queries, workload.num_queries)
+    sample = QueryWorkload(
+        vectors=workload.vectors[:ns], user_ids=workload.user_ids[:ns],
+        topk=workload.topk, selectivities=workload.selectivities[:ns],
+        repetitions=workload.repetitions[:ns],
+    )
+    return oracle.compute(corpus, world, sample, k)
+
+
 def run_benchmark(
     searcher: PartitionedSearcher,
     corpus: Corpus,
@@ -63,18 +81,21 @@ def run_benchmark(
                                           # estimate (exact GT is the
                                           # expensive part; throughput is
                                           # still timed over ALL queries)
+    truth: Optional[np.ndarray] = None,   # precomputed via
+                                          # compute_truth_sample (lets the
+                                          # caller free the oracle arena
+                                          # before the serving arena exists)
 ) -> BenchmarkResult:
     k = k or workload.topk
     q, users = workload.vectors, workload.user_ids
     masks = world.user_masks
 
     ns = min(recall_sample or workload.num_queries, workload.num_queries)
-    sample = QueryWorkload(
-        vectors=q[:ns], user_ids=users[:ns], topk=workload.topk,
-        selectivities=workload.selectivities[:ns],
-        repetitions=workload.repetitions[:ns],
-    )
-    truth = oracle.compute(corpus, world, sample, k)
+    if truth is None:
+        truth = compute_truth_sample(oracle, corpus, world, workload, k,
+                                     recall_sample)
+    else:
+        ns = min(ns, len(truth))
 
     for _ in range(warmup_runs):
         searcher.search_batch(q, users, masks, k)

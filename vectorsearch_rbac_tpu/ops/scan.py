@@ -143,6 +143,11 @@ def masked_scan_topk_aug(
     zeros = jnp.zeros((nq, d_aug - d - 2), jnp.float32)
     q_aug = jnp.concatenate([-2.0 * q, ones, ones, zeros], axis=1).astype(compute_dtype)
 
+    # with few blocks the final exact merge can't recover per-block losses;
+    # raise the per-block target so end recall stays comparable
+    if nb < 4 and mode == "approx":
+        recall_target = max(recall_target, 0.98)
+
     vec_blocks = vectors_aug.reshape(nb, block_rows, d_aug)
     bit_blocks = role_bits.reshape(nb, block_rows, -1)
     offsets = jnp.arange(nb, dtype=jnp.int32) * block_rows
