@@ -21,8 +21,6 @@ import json
 import sys
 import time
 
-import numpy as np
-
 BASELINE_QPS = 1000.0 / 0.118  # ~8474 QPS, physical role partition, CPU
 
 

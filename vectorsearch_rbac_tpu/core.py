@@ -12,9 +12,9 @@ gathered copies ("physical" partitions) to trade HBM for scan locality.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import cached_property
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

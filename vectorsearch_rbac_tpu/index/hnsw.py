@@ -18,7 +18,6 @@ Two builders:
 
 from __future__ import annotations
 
-import math
 import time
 from typing import Dict, Optional, Tuple
 
@@ -42,7 +41,7 @@ def _device_knn_graph_ivf(vec: np.ndarray, k: int, seed: int = 0) -> np.ndarray:
     import jax.numpy as jnp
 
     from ..ops.ivf_scan import ivf_search_fn
-    from ..ops.kmeans import assign_clusters, kmeans_fit, kmeans_init
+    from ..ops.kmeans import assign_clusters_blocked, kmeans_fit, kmeans_init
 
     n, d = vec.shape
     nlist = max(16, int(np.sqrt(n)))
@@ -51,7 +50,7 @@ def _device_knn_graph_ivf(vec: np.ndarray, k: int, seed: int = 0) -> np.ndarray:
     sample = vec if n <= 200_000 else vec[rng.choice(n, 200_000, replace=False)]
     cents, _ = kmeans_fit(jnp.asarray(sample),
                           jnp.asarray(kmeans_init(sample, nlist, seed)), iters=8)
-    assign = np.asarray(assign_clusters(jnp.asarray(vec), cents))
+    assign = assign_clusters_blocked(vec, cents)
 
     # padded inverted lists (no permission bits needed: all-ones)
     counts = np.bincount(assign, minlength=nlist)

@@ -22,7 +22,7 @@ import numpy as np
 
 from ..core import DeviceArena
 from ..ops.ivf_scan import ivf_search_fn
-from ..ops.kmeans import assign_clusters, kmeans_fit, kmeans_init
+from ..ops.kmeans import assign_clusters_blocked, kmeans_fit, kmeans_init
 from ..utils.logger import get_logger
 
 logger = get_logger("index.ivf")
@@ -79,7 +79,7 @@ class IVFIndex:
             jnp.asarray(sample), jnp.asarray(init), iters=kmeans_iters
         )
         self._centroids = centroids.astype(jnp.float32)
-        assign = np.asarray(assign_clusters(jnp.asarray(vec), self._centroids))
+        assign = assign_clusters_blocked(vec, self._centroids)
         self.build_time_s = time.perf_counter() - t0
 
         # ---- bucket rows into padded lists with spill to next centroid

@@ -11,8 +11,7 @@ fitted linearly to recover (a, b).
 
 from __future__ import annotations
 
-import math
-from typing import Iterable, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

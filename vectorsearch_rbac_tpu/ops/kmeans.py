@@ -28,15 +28,60 @@ def assign_clusters(x: jax.Array, centroids: jax.Array) -> jax.Array:
     return jnp.argmin(d, axis=1).astype(jnp.int32)
 
 
-def _update_step(x, centroids, weights=None, axis_name: Optional[str] = None):
-    """One Lloyd iteration; psums stats over `axis_name` when sharded."""
+def assign_clusters_blocked(x: np.ndarray, centroids, block: int = 65536) -> np.ndarray:
+    """Host-driven blockwise assignment for row counts where the (N, C)
+    distance matrix would not fit HBM."""
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=())
+    def go(xi, cents):
+        return assign_clusters(xi, cents)
+
+    n = x.shape[0]
+    out = np.empty(n, dtype=np.int32)
+    pending = []
+    for s in range(0, n, block):
+        e = min(s + block, n)
+        xb = np.zeros((block, x.shape[1]), dtype=np.float32)
+        xb[: e - s] = x[s:e]
+        pending.append((s, e, go(jnp.asarray(xb), centroids)))
+    for s, e, a in pending:
+        out[s:e] = np.asarray(a)[: e - s]
+    return out
+
+
+def _update_step(x, centroids, weights=None, axis_name: Optional[str] = None,
+                 block: int = 32768):
+    """One Lloyd iteration; psums stats over `axis_name` when sharded.
+
+    Stats accumulate over row blocks so the (N, C) distance and one-hot
+    matrices never materialize — at N=200k, C=4096 they would need ~30 GB.
+    """
+    n, d = x.shape
     c = centroids.shape[0]
-    assign = assign_clusters(x, centroids)
-    onehot = jax.nn.one_hot(assign, c, dtype=jnp.float32)
-    if weights is not None:  # mask out padding rows
-        onehot = onehot * weights[:, None]
-    sums = jnp.dot(onehot.T, x, preferred_element_type=jnp.float32)
-    counts = jnp.sum(onehot, axis=0)
+    nb = max(1, -(-n // block))
+    npad = nb * block
+    if npad != n:
+        x = jnp.concatenate([x, jnp.zeros((npad - n, d), x.dtype)])
+        w = weights if weights is not None else jnp.ones((n,), jnp.float32)
+        weights = jnp.concatenate([w, jnp.zeros((npad - n,), jnp.float32)])
+    xb = x.reshape(nb, block, d)
+    wb = (weights.reshape(nb, block) if weights is not None else None)
+
+    def body(carry, i):
+        sums, counts = carry
+        xi = xb[i]
+        assign = assign_clusters(xi, centroids)
+        onehot = jax.nn.one_hot(assign, c, dtype=jnp.float32)
+        if wb is not None:
+            onehot = onehot * wb[i][:, None]
+        sums = sums + jnp.dot(onehot.T, xi, preferred_element_type=jnp.float32)
+        counts = counts + jnp.sum(onehot, axis=0)
+        return (sums, counts), assign
+
+    init = (jnp.zeros((c, d), jnp.float32), jnp.zeros((c,), jnp.float32))
+    (sums, counts), assigns = jax.lax.scan(body, init, jnp.arange(nb))
+    assign = assigns.reshape(npad)[:n]
     if axis_name is not None:
         sums = jax.lax.psum(sums, axis_name)
         counts = jax.lax.psum(counts, axis_name)
@@ -80,7 +125,6 @@ def sharded_kmeans_step(mesh, x_sharded, centroids, weights=None):
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
-    from .scan import INF  # noqa: F401  (keep ops self-contained)
     from ..parallel.mesh import SHARD_AXIS
 
     def step(xl, cents, wl):

@@ -13,7 +13,6 @@ negligible against the HBM scan. So QPS scales ~linearly in chips.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

@@ -12,12 +12,12 @@ the reference's per-user connection pools and per-partition SQL queries
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..core import Corpus, DeviceArena
+from ..core import DeviceArena
 from ..index.base import PartitionIndex
 from ..index.flat import FlatIndex
 from ..ops.topk import merge_topk_host

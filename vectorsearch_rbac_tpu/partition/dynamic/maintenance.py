@@ -20,9 +20,9 @@ old plan object to roll back.
 from __future__ import annotations
 
 import math
-from typing import Dict, FrozenSet, Optional, Set, Tuple
+from typing import Dict, Optional, Set, Tuple
 
-from ...models.cost import CostModelParams, ef_for_recall
+from ...models.cost import ef_for_recall
 from ...rbac.world import Comb
 from ...utils.logger import get_logger
 from .optimizer import PartitionPlan, PlannerInputs

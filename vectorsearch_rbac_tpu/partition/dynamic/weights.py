@@ -10,7 +10,7 @@ per single role; roles never queried get a small default weight.
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Dict, Tuple
+from typing import Dict
 
 from ...bench.queries import QueryWorkload
 from ...rbac.world import Comb, RBACWorld

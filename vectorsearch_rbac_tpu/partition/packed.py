@@ -17,15 +17,13 @@ N queries x P tables, one gather-matmul over a packed HBM layout.
 
 from __future__ import annotations
 
-import math
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Sequence, Tuple
 
 import numpy as np
 
-from ..core import Corpus, DeviceArena
+from ..core import DeviceArena
 from ..ops.ivf_scan import probed_topk
 from ..ops.topk import merge_topk_host
-from ..utils.config import FrameworkConfig
 from ..utils.logger import get_logger
 from ..utils.tracing import StageTimer
 

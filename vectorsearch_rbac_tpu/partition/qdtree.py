@@ -16,8 +16,8 @@ disk (reference :1724 save_qd_tree / :1741 load_qd_tree).
 from __future__ import annotations
 
 import pickle
-from dataclasses import dataclass, field
-from typing import Dict, FrozenSet, List, Optional, Sequence, Set, Tuple, Union
+from dataclasses import dataclass
+from typing import Dict, FrozenSet, List, Optional, Sequence, Set, Tuple
 
 import numpy as np
 

@@ -24,7 +24,7 @@ baseline in partition/qdtree.py.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

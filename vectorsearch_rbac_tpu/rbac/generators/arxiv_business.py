@@ -15,7 +15,7 @@ draws zipf-distributed labels so category sizes are realistically skewed.
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Dict, Mapping, Sequence, Tuple
+from typing import Dict, Mapping, Tuple
 
 import numpy as np
 

@@ -13,8 +13,6 @@ from __future__ import annotations
 
 from typing import Dict, Tuple
 
-import numpy as np
-
 from ..world import RBACWorld
 from .base import RBACGenerator
 

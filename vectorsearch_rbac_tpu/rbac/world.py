@@ -13,7 +13,7 @@ distance-scan kernels.
 from __future__ import annotations
 
 from collections import defaultdict
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import cached_property
 from typing import Dict, FrozenSet, Iterable, List, Mapping, Sequence, Tuple
 
