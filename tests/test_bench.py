@@ -73,3 +73,24 @@ def test_run_benchmark_end_to_end(tmp_path, small_world, small_corpus):
     assert res.qps > 0
     assert res.storage["num_partitions"] == small_world.num_roles
     assert "avg_recall" in res.to_json()
+
+
+def test_per_query_dump(tmp_path, small_world, small_corpus):
+    cfg = FrameworkConfig()
+    cfg.search.block_rows = 128
+    cfg.search.batch_size = 16
+    arena = build_device_arena(small_corpus, small_world, block_rows=128)
+    oracle = GroundTruthOracle(arena, cache_dir=str(tmp_path), block_rows=128,
+                               query_batch=16)
+    wl = generate_query_workload(small_corpus, small_world, num_queries=6,
+                                 topk=5, seed=6)
+    searcher = build_searcher("rls", small_corpus, small_world, arena, cfg)
+    import json as _json
+    p = str(tmp_path / "per_query.json")
+    run_benchmark(searcher, small_corpus, small_world, wl, oracle,
+                  warmup_runs=0, timed_batches=2, per_query_path=p)
+    with open(p) as f:
+        recs = _json.load(f)
+    assert len(recs) == 6
+    assert all(0 <= r["recall"] <= 1 for r in recs)
+    assert all("result_rows" in r for r in recs)

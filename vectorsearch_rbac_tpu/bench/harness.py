@@ -85,6 +85,8 @@ def run_benchmark(
                                           # compute_truth_sample (lets the
                                           # caller free the oracle arena
                                           # before the serving arena exists)
+    per_query_path: Optional[str] = None,  # write per-query JSON records
+                                           # (reference common_function.py:1427)
 ) -> BenchmarkResult:
     k = k or workload.topk
     q, users = workload.vectors, workload.user_ids
@@ -119,6 +121,20 @@ def run_benchmark(
         batch_ms.append((time.perf_counter() - t0) / (e - s) * 1000.0)
 
     recall = compute_recall(ids[:ns], truth)
+
+    if per_query_path:
+        records = []
+        for qi in range(ns):
+            want = set(int(x) for x in truth[qi] if x >= 0)
+            got = [int(x) for x in ids[qi] if x >= 0]
+            records.append({
+                "user_id": int(users[qi]),
+                "query_block_selectivity": float(workload.selectivities[qi]),
+                "recall": (len(set(got) & want) / len(want)) if want else 1.0,
+                "result_rows": got,
+            })
+        with open(per_query_path, "w") as f:
+            json.dump(records, f)
     res = BenchmarkResult(
         strategy=searcher.name,
         num_queries=nq,
