@@ -104,3 +104,41 @@ def test_dynamic_searcher_end_to_end(small_world, small_corpus):
         want = set(rows[np.argsort(dd, kind="stable")[:10]].tolist())
         got = set(int(x) for x in ids[qi] if x >= 0)
         assert got == want
+
+
+def test_dynamic_hnsw_selectivity_scaled_ef(small_world, small_corpus):
+    """Graph-indexed dynamic partitions scale each probe's ef by the
+    (comb, partition) selectivity — recall must beat the fixed-ef run."""
+    import vectorsearch_rbac_tpu.native as native
+    if not native.available():
+        import pytest
+        pytest.skip("native lib unavailable")
+    cfg = FrameworkConfig()
+    cfg.search.block_rows = 128
+    cfg.search.batch_size = 16
+    cfg.search.ef_search = 16
+    cfg.index.kind = "hnsw"
+    cfg.index.hnsw_m = 8
+    cfg.optimizer.storage_alpha = 2.0
+    arena = build_device_arena(small_corpus, small_world, block_rows=128)
+    s = build_searcher("dynamic", small_corpus, small_world, arena, cfg)
+    assert hasattr(s, "probe_ef")
+    # scaled ef must be >= base and pow2-bucketed
+    uid = 0
+    pids = s.router(uid)
+    efs = [s.probe_ef(uid, pid) for pid in pids]
+    assert all(e >= 16 and (e & (e - 1)) == 0 for e in efs)
+
+    rng = np.random.default_rng(4)
+    q = rng.standard_normal((12, small_corpus.dim)).astype(np.float32)
+    users = rng.integers(0, small_world.num_users, 12)
+    d, ids = s.search_batch(q, users, small_world.user_masks, k=5)
+    hits = tot = 0
+    for qi in range(12):
+        docs = small_world.user_docs(int(users[qi]))
+        rows = small_corpus.rows_for_docs(np.fromiter(docs, dtype=np.int64, count=len(docs)))
+        dd = ((small_corpus.vectors[rows] - q[qi]) ** 2).sum(axis=1)
+        want = set(rows[np.argsort(dd, kind="stable")[:5]].tolist())
+        got = set(int(x) for x in ids[qi] if x >= 0)
+        hits += len(want & got); tot += 5
+    assert hits / tot > 0.7, f"scaled-ef dynamic hnsw recall {hits/tot}"

@@ -156,6 +156,35 @@ def build_dynamic_searcher(
     }
     searcher = PartitionedSearcher(arena, partitions, router, name="dynamic")
     searcher.plan = plan  # keep for maintenance ops (insert/delete roles)
+
+    if cfg.index.kind == "hnsw":
+        # selectivity-scaled search width per (comb, partition): a dynamic
+        # partition holds a whole combination's documents, so one user's
+        # within-partition selectivity is partial; a fixed-ef graph search
+        # under-delivers where pgvector's iterative scan would keep going
+        # (reference pgvector/src/hnsw.c:90 hnsw.iterative_scan). The cost
+        # model's ef ~ 1/sel (models/cost.py ef_for_recall) scales each
+        # probe instead; ef buckets to powers of two to bound compiles.
+        base_ef = max(cfg.search.ef_search, 16)
+        sel_cache: Dict[tuple, int] = {}
+
+        def probe_ef(uid: int, pid: int) -> int:
+            comb = tuple(user_to_roles.get(uid, ()))
+            key = (comb, pid)
+            ef = sel_cache.get(key)
+            if ef is None:
+                pdocs = plan.assignment.get(pid, set())
+                cdocs = set()
+                for r in comb:
+                    cdocs.update(world.role_to_docs.get(r, ()))
+                sel = len(cdocs & pdocs) / max(len(pdocs), 1)
+                raw = base_ef / max(sel, 0.05)
+                ef = 1 << int(np.ceil(np.log2(max(raw, base_ef))))
+                ef = min(ef, 2048)
+                sel_cache[key] = ef
+            return ef
+
+        searcher.probe_ef = probe_ef
     return searcher
 
 
