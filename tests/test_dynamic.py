@@ -122,12 +122,14 @@ def test_dynamic_hnsw_selectivity_scaled_ef(small_world, small_corpus):
     cfg.optimizer.storage_alpha = 2.0
     arena = build_device_arena(small_corpus, small_world, block_rows=128)
     s = build_searcher("dynamic", small_corpus, small_world, arena, cfg)
-    assert hasattr(s, "probe_ef")
+    assert hasattr(s, "probe_params")
     # scaled ef must be >= base and pow2-bucketed
     uid = 0
     pids = s.router(uid)
-    efs = [s.probe_ef(uid, pid) for pid in pids]
-    assert all(e >= 16 and (e & (e - 1)) == 0 for e in efs)
+    kws = [s.probe_params(uid, pid) for pid in pids]
+    assert all(kw["ef_search"] >= 16 and (kw["ef_search"] & (kw["ef_search"] - 1)) == 0
+               for kw in kws)
+    assert all("filtered_traversal" in kw for kw in kws)
 
     rng = np.random.default_rng(4)
     q = rng.standard_normal((12, small_corpus.dim)).astype(np.float32)

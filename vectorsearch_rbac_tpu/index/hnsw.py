@@ -24,7 +24,7 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 from ..core import DeviceArena
-from ..ops.graph_search import graph_search_fn
+from ..ops.graph_search import graph_search_filtered_fn, graph_search_fn
 from ..utils.logger import get_logger
 from .flat import _pad_to_bucket
 
@@ -239,6 +239,8 @@ class HNSWIndex:
     def search(
         self, queries: np.ndarray, query_masks: np.ndarray, k: int,
         ef_search: Optional[int] = None,
+        filtered_traversal: bool = False,  # ACORN-style 2-hop filtered beam:
+                                           # use at low within-index selectivity
     ) -> Tuple[np.ndarray, np.ndarray]:
         import jax.numpy as jnp
 
@@ -259,7 +261,8 @@ class HNSWIndex:
             mb = np.zeros((bs, mm.shape[1]), dtype=np.uint32)
             qb[: e - s] = q[s:e]
             mb[: e - s] = mm[s:e]
-            d, i = graph_search_fn(
+            fn = graph_search_filtered_fn if filtered_traversal else graph_search_fn
+            d, i = fn(
                 jnp.asarray(qb), self._vectors, self._norms, self._bits,
                 self._graph, jnp.asarray(mb), self.entry, kk, ef,
             )

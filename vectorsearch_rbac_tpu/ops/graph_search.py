@@ -146,3 +146,140 @@ def graph_search_fn(queries, vectors, norms, role_bits, graph, query_masks,
         queries, vectors, norms, role_bits, graph, query_masks,
         entry=entry, k=k, ef=ef,
     )
+
+
+def graph_beam_search_filtered(
+    queries: jax.Array,      # (Q, d) float32
+    vectors: jax.Array,      # (n_pad, d)
+    norms: jax.Array,        # (n_pad,)
+    role_bits: jax.Array,    # (n_pad, W)
+    graph: jax.Array,        # (n_pad, M0)
+    query_masks: jax.Array,  # (Q, W)
+    entry: int,
+    k: int,
+    ef: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """ACORN-style two-hop harvesting (reference acorn_benchmark /
+    faiss::IndexACORNFlat semantics): navigation uses the full, unfiltered
+    graph (keeping beam quality), while each expansion HARVESTS admissible
+    results from the expanded node's 2-hop neighborhood — a ~M0x larger
+    admissible sample per hop. Fixes the structural recall loss at low
+    within-partition selectivity (results/anonysys_hnsw_1m.json): an
+    unfiltered 1-hop traversal only ever sees sel*M0 admissible nodes per
+    expansion, starving the result list.
+
+    Cost per expansion is ~M0^2 candidate distances instead of M0 — use at
+    low selectivity; plain graph_beam_search is cheaper when the user can
+    read most of the partition.
+    """
+    q = queries.astype(jnp.float32)
+    nq, d = q.shape
+    m0 = graph.shape[1]
+    qn = jnp.sum(q * q, axis=1, keepdims=True)
+    compute_dtype = vectors.dtype
+    qc = q.astype(compute_dtype)
+
+    def dist_to(ids):
+        safe = jnp.maximum(ids, 0)
+        x = jnp.take(vectors, safe, axis=0)
+        nrm = jnp.take(norms, safe, axis=0)
+        dots = jnp.einsum("qd,qcd->qc", qc, x, preferred_element_type=jnp.float32)
+        s = nrm - 2.0 * dots
+        return jnp.where(ids >= 0, s, INF)
+
+    def allowed(ids):
+        safe = jnp.maximum(ids, 0)
+        bits = jnp.take(role_bits, safe, axis=0)
+        ok = jnp.any(jnp.bitwise_and(query_masks[:, None, :], bits) != 0, axis=-1)
+        return jnp.logical_and(ok, ids >= 0)
+
+    # traversal init: identical to the unfiltered beam
+    entry_ids = jnp.full((nq, 1), entry, dtype=jnp.int32)
+    entry_d = dist_to(entry_ids)
+    beam_ids = jnp.concatenate(
+        [entry_ids, jnp.full((nq, ef - 1), -1, jnp.int32)], axis=1)
+    beam_d = jnp.concatenate([entry_d, jnp.full((nq, ef - 1), INF)], axis=1)
+    beam_expanded = jnp.concatenate(
+        [jnp.zeros((nq, 1), bool), jnp.ones((nq, ef - 1), bool)], axis=1)
+
+    res_ids = jnp.full((nq, k), -1, jnp.int32)
+    res_d = jnp.full((nq, k), INF)
+    e_ok = allowed(entry_ids)
+    res_ids = res_ids.at[:, 0].set(jnp.where(e_ok[:, 0], entry_ids[:, 0], -1))
+    res_d = res_d.at[:, 0].set(jnp.where(e_ok[:, 0], entry_d[:, 0], INF))
+
+    history = jnp.full((nq, ef), -1, dtype=jnp.int32)
+    rows = jnp.arange(nq)
+
+    def body(t, state):
+        beam_ids, beam_d, beam_expanded, res_ids, res_d, history = state
+        masked = jnp.where(beam_expanded, INF, beam_d)
+        sel = jnp.argmin(masked, axis=1)
+        active = jnp.isfinite(masked[rows, sel])
+        node = jnp.where(active, beam_ids[rows, sel], -1)
+        beam_expanded = beam_expanded.at[rows, sel].set(True)
+        history = history.at[:, t].set(node)
+
+        nb1 = jnp.take(graph, jnp.maximum(node, 0), axis=0)          # (Q, M0)
+        nb1 = jnp.where((node >= 0)[:, None], nb1, -1)
+
+        # navigation: UNFILTERED 1-hop beam update (beam quality preserved)
+        seen_beam = jnp.any(nb1[:, :, None] == beam_ids[:, None, :], axis=-1)
+        seen_hist = jnp.any(nb1[:, :, None] == history[:, None, :], axis=-1)
+        nav = jnp.where(seen_beam | seen_hist, -1, nb1)
+        nav_d = dist_to(nav)
+        all_ids = jnp.concatenate([beam_ids, nav], axis=1)
+        all_d = jnp.concatenate([beam_d, nav_d], axis=1)
+        all_exp = jnp.concatenate(
+            [beam_expanded, jnp.zeros_like(nav, dtype=bool)], axis=1)
+        neg_top, pos = jax.lax.top_k(-all_d, ef)
+        beam_d = -neg_top
+        beam_ids = jnp.take_along_axis(all_ids, pos, axis=1)
+        beam_expanded = jnp.take_along_axis(all_exp, pos, axis=1)
+
+        # harvest: ADMISSIBLE results from the full 2-hop neighborhood
+        nb2 = jnp.take(graph, jnp.maximum(nb1, 0), axis=0)           # (Q, M0, M0)
+        nb2 = jnp.where((nb1 >= 0)[:, :, None], nb2, -1)
+        cand = jnp.concatenate([nb1, nb2.reshape(nq, m0 * m0)], axis=1)
+        seen_res = jnp.any(cand[:, :, None] == res_ids[:, None, :], axis=-1)
+        ok = allowed(cand) & ~seen_res
+        cd = jnp.where(ok, dist_to(cand), INF)
+        # in-hop duplicates (a node reachable via several 1-hop parents)
+        # share one distance; they can transiently occupy extra result
+        # slots until displaced — the host merge's k-margin dedupes
+        negc, posc = jax.lax.top_k(-cd, k)
+        hv_d = -negc
+        hv_ids = jnp.take_along_axis(jnp.where(ok, cand, -1), posc, axis=1)
+        # drop in-hop duplicates (one node reachable via several parents)
+        dup = jnp.any(
+            (hv_ids[:, :, None] == hv_ids[:, None, :])
+            & (jax.lax.broadcasted_iota(jnp.int32, (1, k, k), 2)
+               < jax.lax.broadcasted_iota(jnp.int32, (1, k, k), 1)),
+            axis=2,
+        )
+        hv_d = jnp.where(dup, INF, hv_d)
+        hv_ids = jnp.where(dup, -1, hv_ids)
+        r_ids = jnp.concatenate([res_ids, hv_ids], axis=1)
+        r_d = jnp.concatenate([res_d, hv_d], axis=1)
+        neg_top, pos = jax.lax.top_k(-r_d, k)
+        res_d = -neg_top
+        res_ids = jnp.take_along_axis(r_ids, pos, axis=1)
+        return beam_ids, beam_d, beam_expanded, res_ids, res_d, history
+
+    state = (beam_ids, beam_d, beam_expanded, res_ids, res_d, history)
+    state = jax.lax.fori_loop(1, ef, body, state)
+    _, _, _, res_ids, res_d, _ = state
+
+    empty = jnp.isinf(res_d)
+    dists = jnp.where(empty, INF, jnp.maximum(res_d + qn, 0.0))
+    ids = jnp.where(empty, -1, res_ids)
+    return dists, ids
+
+
+@functools.partial(jax.jit, static_argnames=("entry", "k", "ef"))
+def graph_search_filtered_fn(queries, vectors, norms, role_bits, graph,
+                             query_masks, entry, k, ef):
+    return graph_beam_search_filtered(
+        queries, vectors, norms, role_bits, graph, query_masks,
+        entry=entry, k=k, ef=ef,
+    )

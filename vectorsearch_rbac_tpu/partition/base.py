@@ -132,28 +132,26 @@ class PartitionedSearcher:
         # run each touched partition once over all its queries; partitions
         # supporting deferred dispatch are all enqueued before the first
         # sync so their device scans pipeline back-to-back. Strategies may
-        # expose probe_ef(uid, pid) (selectivity-scaled search width — the
-        # cost model's ef ~ 1/sel, replacing pgvector's iterative rescans):
-        # queries then sub-group by the effective ef.
-        probe_ef = getattr(self, "probe_ef", None)
+        # expose probe_params(uid, pid) -> search kwargs (selectivity-scaled
+        # ef, ACORN-style filtered traversal — replacing pgvector's
+        # iterative rescans): queries then sub-group by those kwargs.
+        probe_params = getattr(self, "probe_params", None)
         part_results: Dict[int, Tuple[np.ndarray, np.ndarray, Dict[int, int]]] = {}
         deferred: Dict[int, object] = {}
         with self.timer.stage("device_scan"):
             for pid, qidx in pid_to_queries.items():
                 part = self.partitions[pid]
-                if probe_ef is not None:
-                    by_ef: Dict[int, List[int]] = {}
+                if probe_params is not None:
+                    by_kw: Dict[tuple, List[int]] = {}
                     for qi in qidx:
-                        by_ef.setdefault(
-                            probe_ef(int(user_ids[qi]), pid), []
-                        ).append(qi)
+                        kw = probe_params(int(user_ids[qi]), pid)
+                        by_kw.setdefault(tuple(sorted(kw.items())), []).append(qi)
                     d = np.full((len(qidx), k), np.inf, dtype=np.float32)
                     i = np.full((len(qidx), k), -1, dtype=np.int64)
                     pos = {qi: j for j, qi in enumerate(qidx)}
-                    for ef, qsub in by_ef.items():
-                        kw = {"ef_search": ef} if ef is not None else {}
+                    for kw_items, qsub in by_kw.items():
                         dd, ii = part.index.search(
-                            queries[qsub], qmasks[qsub], k, **kw
+                            queries[qsub], qmasks[qsub], k, **dict(kw_items)
                         )
                         for j, qi in enumerate(qsub):
                             d[pos[qi]], i[pos[qi]] = dd[j], ii[j]

@@ -158,33 +158,35 @@ def build_dynamic_searcher(
     searcher.plan = plan  # keep for maintenance ops (insert/delete roles)
 
     if cfg.index.kind == "hnsw":
-        # selectivity-scaled search width per (comb, partition): a dynamic
-        # partition holds a whole combination's documents, so one user's
-        # within-partition selectivity is partial; a fixed-ef graph search
+        # per-(comb, partition) probe parameters: a dynamic partition holds
+        # a whole combination's documents, so one user's within-partition
+        # selectivity is partial; a fixed-ef unfiltered graph search
         # under-delivers where pgvector's iterative scan would keep going
         # (reference pgvector/src/hnsw.c:90 hnsw.iterative_scan). The cost
         # model's ef ~ 1/sel (models/cost.py ef_for_recall) scales each
-        # probe instead; ef buckets to powers of two to bound compiles.
+        # probe (pow2-bucketed to bound compiles), and low-selectivity
+        # probes switch to the ACORN-style 2-hop-harvest traversal
+        # (ops/graph_search.py graph_beam_search_filtered).
         base_ef = max(cfg.search.ef_search, 16)
-        sel_cache: Dict[tuple, int] = {}
+        param_cache: Dict[tuple, dict] = {}
 
-        def probe_ef(uid: int, pid: int) -> int:
+        def probe_params(uid: int, pid: int) -> dict:
             comb = tuple(user_to_roles.get(uid, ()))
             key = (comb, pid)
-            ef = sel_cache.get(key)
-            if ef is None:
+            kw = param_cache.get(key)
+            if kw is None:
                 pdocs = plan.assignment.get(pid, set())
                 cdocs = set()
                 for r in comb:
                     cdocs.update(world.role_to_docs.get(r, ()))
                 sel = len(cdocs & pdocs) / max(len(pdocs), 1)
                 raw = base_ef / max(sel, 0.05)
-                ef = 1 << int(np.ceil(np.log2(max(raw, base_ef))))
-                ef = min(ef, 2048)
-                sel_cache[key] = ef
-            return ef
+                ef = min(1 << int(np.ceil(np.log2(max(raw, base_ef)))), 2048)
+                kw = {"ef_search": ef, "filtered_traversal": sel < 0.5}
+                param_cache[key] = kw
+            return kw
 
-        searcher.probe_ef = probe_ef
+        searcher.probe_params = probe_params
     return searcher
 
 
