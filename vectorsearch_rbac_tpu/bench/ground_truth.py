@@ -29,12 +29,26 @@ def _workload_digest(
     corpus: Corpus, world: RBACWorld, workload: QueryWorkload, k: int
 ) -> str:
     h = hashlib.sha256()
-    h.update(np.ascontiguousarray(workload.vectors[:64]).tobytes())
-    h.update(workload.user_ids.tobytes())
+    # ALL query vectors (a truncated sample let workloads differing beyond
+    # query 64 silently share a stale cache) + full user assignment
+    h.update(np.ascontiguousarray(workload.vectors, dtype=np.float32).tobytes())
+    h.update(np.ascontiguousarray(workload.user_ids).tobytes())
     h.update(str((corpus.n, corpus.dim, world.num_roles, world.num_users, k)).encode())
-    # cheap world fingerprint: per-role doc counts
+    # corpus content fingerprint: strided row sample + corner stats, so two
+    # same-shape corpora with different vectors never collide
+    stride = max(1, corpus.n // 1024)
+    sample = np.ascontiguousarray(corpus.vectors[::stride], dtype=np.float32)
+    h.update(sample.tobytes())
+    h.update(np.ascontiguousarray(corpus.doc_ids[::stride]).tobytes())
+    # world fingerprint: per-role doc counts plus a content hash of the
+    # role->doc assignment itself
     counts = sorted((r, len(d)) for r, d in world.role_to_docs.items())
     h.update(json.dumps(counts).encode())
+    for r in sorted(world.role_to_docs):
+        docs = np.fromiter(world.role_to_docs[r], dtype=np.int64,
+                           count=len(world.role_to_docs[r]))
+        docs.sort()
+        h.update(docs[:: max(1, len(docs) // 64)].tobytes())
     return h.hexdigest()[:24]
 
 

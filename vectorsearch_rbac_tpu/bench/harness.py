@@ -35,11 +35,11 @@ class BenchmarkResult:
     num_queries: int
     topk: int
     avg_recall: float
-    qps: float
-    avg_query_time_ms: float
-    p50_ms: float
-    p95_ms: float
-    p99_ms: float
+    qps: float                 # batched throughput: nq / median wall of full passes
+    avg_query_time_ms: float   # TRUE per-query latency: mean of batch-1 dispatches
+    p50_ms: float              # percentiles over the same batch-1 dispatches —
+    p95_ms: float              # directly comparable to the reference's per-query
+    p99_ms: float              # numbers (C++ result JSONs measure one query at a time)
     avg_block_selectivity: float
     storage: Dict[str, float]
     build_time_s: float = 0.0
@@ -110,15 +110,21 @@ def run_benchmark(
         walls.append(time.perf_counter() - t0)
     wall = float(np.median(walls))
 
-    # latency distribution: micro-batches of queries through the same path
+    # latency distribution: TRUE batch-1 dispatches over a query sample —
+    # one query per search_batch call, timed individually, so p50/p95/p99
+    # are per-query numbers comparable to the reference's (which times one
+    # query at a time, main_role_partition_comparison.cpp query loop).
+    # Throughput above amortizes batching; these do not, by design.
     nq = workload.num_queries
-    mb = max(1, nq // timed_batches)
-    batch_ms: List[float] = []
-    for s in range(0, nq, mb):
-        e = min(s + mb, nq)
+    n_lat = min(max(timed_batches, 16), 64, nq)
+    lat_idx = np.linspace(0, nq - 1, n_lat).astype(np.int64)
+    # warm the batch-1 compiled shape before timing
+    searcher.search_batch(q[:1], users[:1], masks, k)
+    per_query_ms: List[float] = []
+    for qi in lat_idx:
         t0 = time.perf_counter()
-        searcher.search_batch(q[s:e], users[s:e], masks, k)
-        batch_ms.append((time.perf_counter() - t0) / (e - s) * 1000.0)
+        searcher.search_batch(q[qi:qi + 1], users[qi:qi + 1], masks, k)
+        per_query_ms.append((time.perf_counter() - t0) * 1000.0)
 
     recall = compute_recall(ids[:ns], truth)
 
@@ -141,17 +147,21 @@ def run_benchmark(
         topk=k,
         avg_recall=recall,
         qps=nq / wall,
-        avg_query_time_ms=wall / nq * 1000.0,
-        p50_ms=float(np.percentile(batch_ms, 50)),
-        p95_ms=float(np.percentile(batch_ms, 95)),
-        p99_ms=float(np.percentile(batch_ms, 99)),
+        avg_query_time_ms=float(np.mean(per_query_ms)),
+        p50_ms=float(np.percentile(per_query_ms, 50)),
+        p95_ms=float(np.percentile(per_query_ms, 95)),
+        p99_ms=float(np.percentile(per_query_ms, 99)),
         avg_block_selectivity=float(np.mean(workload.selectivities)),
         storage=searcher.storage_report(),
         build_time_s=build_time_s,
-        extra={
-            f"stage_{name}_ms": stats["mean_ms"]
-            for name, stats in getattr(searcher, "timer", None).report().items()
-        } if getattr(searcher, "timer", None) else {},
+        extra=dict(
+            {
+                f"stage_{name}_ms": stats["mean_ms"]
+                for name, stats in getattr(searcher, "timer", None).report().items()
+            } if getattr(searcher, "timer", None) else {},
+            batched_ms_per_query=wall / nq * 1000.0,
+            latency_sample=n_lat,
+        ),
     )
     logger.info(
         "%s: recall@%d=%.4f qps=%.1f avg=%.3fms storage=%.1fMB",

@@ -52,16 +52,34 @@ def _device_knn_graph_ivf(vec: np.ndarray, k: int, seed: int = 0) -> np.ndarray:
                           jnp.asarray(kmeans_init(sample, nlist, seed)), iters=8)
     assign = assign_clusters_blocked(vec, cents)
 
-    # padded inverted lists (no permission bits needed: all-ones)
+    # padded inverted lists (no permission bits needed: all-ones). Spilled
+    # rows go to their nearest centroid with free space — never dropped
+    # (a dropped row would vanish from every kNN candidate list); if every
+    # probed list is full, grow l_pad (same policy as index/ivf.py).
     counts = np.bincount(assign, minlength=nlist)
     l_pad = max(8, int(np.quantile(counts, 0.99)) // 8 * 8 + 8)
     lists: list[list[int]] = [[] for _ in range(nlist)]
     spill = []
     for i, c in enumerate(assign.tolist()):
         (lists[c] if len(lists[c]) < l_pad else spill).append(i)
-    for i in spill:  # round-robin spill to any list with space
-        for c in np.argsort([len(x) for x in lists])[:1]:
-            lists[int(c)].append(i)
+    if spill:
+        cent_np = np.asarray(cents, dtype=np.float32)
+        sv = vec[spill]
+        cd = (
+            np.einsum("nd,nd->n", sv, sv)[:, None]
+            - 2.0 * sv @ cent_np.T
+            + np.einsum("cd,cd->c", cent_np, cent_np)[None, :]
+        )
+        order = np.argsort(cd, axis=1)
+        for j, i in enumerate(spill):
+            for c in order[j]:
+                if len(lists[int(c)]) < l_pad:
+                    lists[int(c)].append(i)
+                    break
+            else:  # every list full: grow padding, keep the row
+                l_pad = int(l_pad * 1.25 + 8) // 8 * 8
+                lists[int(order[j, 0])].append(i)
+    assert sum(len(x) for x in lists) == n, "IVF graph lists lost rows"
 
     inv_vec = np.zeros((nlist, l_pad, d), dtype=np.float32)
     inv_norm = np.full((nlist, l_pad), 3e37, dtype=np.float32)
@@ -69,7 +87,8 @@ def _device_knn_graph_ivf(vec: np.ndarray, k: int, seed: int = 0) -> np.ndarray:
     inv_rows = np.full((nlist, l_pad), -1, dtype=np.int32)
     norms = np.einsum("nd,nd->n", vec, vec)
     for c, members in enumerate(lists):
-        mm = np.asarray(members[:l_pad], dtype=np.int64)
+        assert len(members) <= l_pad
+        mm = np.asarray(members, dtype=np.int64)
         inv_vec[c, : len(mm)] = vec[mm]
         inv_norm[c, : len(mm)] = norms[mm]
         inv_bits[c, : len(mm), 0] = 1
@@ -177,7 +196,7 @@ class HNSWIndex:
             # resume from a persisted graph (utils/persist.py npz state —
             # the reference's .faiss / custom binary graph files analog)
             nbr = np.asarray(graph_state["neighbors"], dtype=np.int32)
-            entry = int(graph_state["entry"])
+            entry = int(np.asarray(graph_state["entry"]).reshape(-1)[0])
             assert nbr.shape[0] == n, "graph state does not match row set"
         elif builder == "classic":
             if native.available():

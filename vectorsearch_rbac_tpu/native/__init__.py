@@ -30,14 +30,17 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(
-                ["make", "-s", "-C", _DIR],
-                check=True, capture_output=True, timeout=300,
-            )
-        except Exception as e:  # no compiler / build failure -> fallback
-            logger.warning("native build failed (%s); using python fallback", e)
+    # Always invoke make: its dependency check rebuilds when the C++ source
+    # is newer than the library and is a no-op otherwise. Never trust a
+    # stale/foreign binary (the .so is .gitignore'd, never committed).
+    try:
+        subprocess.run(
+            ["make", "-s", "-C", _DIR],
+            check=True, capture_output=True, timeout=300,
+        )
+    except Exception as e:  # no compiler / build failure -> fallback
+        logger.warning("native build failed (%s); using python fallback", e)
+        if not os.path.exists(_LIB_PATH):
             return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)

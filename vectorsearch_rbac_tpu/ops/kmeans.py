@@ -122,20 +122,18 @@ def kmeans_init(x: np.ndarray, c: int, seed: int = 0) -> np.ndarray:
 def sharded_kmeans_step(mesh, x_sharded, centroids, weights=None):
     """One distributed Lloyd iteration: rows sharded, centroids replicated,
     stats psum'd over ICI. Used by dryrun_multichip as the training step."""
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
-    from ..parallel.mesh import SHARD_AXIS
+    from ..parallel.mesh import SHARD_AXIS, shard_map_compat
 
     def step(xl, cents, wl):
         new_c, assign = _update_step(xl, cents, wl, axis_name=SHARD_AXIS)
         return new_c, assign
 
-    fn = shard_map(
-        step, mesh=mesh,
+    fn = shard_map_compat(
+        step, mesh,
         in_specs=(P(SHARD_AXIS, None), P(), P(SHARD_AXIS)),
         out_specs=(P(), P(SHARD_AXIS)),
-        check_rep=False,
     )
     if weights is None:
         weights = jnp.ones((x_sharded.shape[0],), dtype=jnp.float32)

@@ -63,6 +63,11 @@ def masked_scan_topk(
     bit_blocks = role_bits.reshape(nb, block_rows, -1)
     offsets = (jnp.arange(nb, dtype=jnp.int32) * block_rows)
 
+    # exact mode is the ground-truth oracle: force full-f32 MXU passes.
+    # TPU f32 matmuls default to bf16 decomposition (~1e-3 relative error),
+    # enough to swap near-ties at the k boundary.
+    precision = jax.lax.Precision.HIGHEST if mode == "exact" else None
+
     def body(_, xs):
         xb, nb_, bb, off = xs
         # scores: ||x||^2 - 2 q.x  (monotone in true L2 per query)
@@ -70,6 +75,7 @@ def masked_scan_topk(
             qc, xb,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=precision,
         )
         scores = nb_[None, :] - 2.0 * dots
         # fused RBAC check: any shared role bit between user mask and row bits

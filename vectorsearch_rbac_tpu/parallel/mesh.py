@@ -29,3 +29,15 @@ def make_mesh(n_devices: Optional[int] = None, n_replicas: int = 1) -> Mesh:
         raise ValueError("n_devices must divide by n_replicas")
     grid = np.asarray(devs[:n]).reshape(n_replicas, n // n_replicas)
     return Mesh(grid, (REPL_AXIS, SHARD_AXIS))
+
+
+def shard_map_compat(f, mesh, in_specs, out_specs):
+    """jax.shard_map across JAX versions: the public `jax.shard_map`
+    (JAX >= 0.8, kwarg `check_vma`) with a fallback to the deprecated
+    `jax.experimental.shard_map` (kwarg `check_rep`)."""
+    if hasattr(jax, "shard_map"):
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+    from jax.experimental.shard_map import shard_map as _sm
+    return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+               check_rep=False)

@@ -75,11 +75,11 @@ class ShardedGlobalSearcher:
     ) -> Tuple[np.ndarray, np.ndarray]:
         import jax.numpy as jnp
 
+        from ..rbac.world import query_masks_for
+
         q = np.asarray(queries, dtype=np.float32)
         user_ids = np.asarray(user_ids)
-        masks = np.asarray(user_masks, dtype=np.uint32)
-        if masks.shape[0] != q.shape[0]:
-            masks = masks[user_ids]
+        masks = query_masks_for(user_masks, user_ids)
         nq = q.shape[0]
         # pad query count to a replica multiple
         pad = (-nq) % self.n_repl

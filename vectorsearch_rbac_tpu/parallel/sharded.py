@@ -81,11 +81,11 @@ def sharded_masked_topk(
         neg_top, pos = jax.lax.top_k(-flat_d, k)
         return -neg_top, jnp.take_along_axis(flat_i, pos, axis=1)
 
-    from jax.experimental.shard_map import shard_map
+    from .mesh import shard_map_compat
 
-    fn = shard_map(
+    fn = shard_map_compat(
         local_scan,
-        mesh=mesh,
+        mesh,
         in_specs=(
             P(REPL_AXIS, None),      # queries: DP over repl
             P(SHARD_AXIS, None),     # corpus rows: sharded, replicated over repl
@@ -94,6 +94,5 @@ def sharded_masked_topk(
             P(REPL_AXIS, None),      # masks follow queries
         ),
         out_specs=(P(REPL_AXIS, None), P(REPL_AXIS, None)),
-        check_rep=False,
     )
     return fn(queries, vectors, norms, role_bits, query_masks)

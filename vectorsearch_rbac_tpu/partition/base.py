@@ -101,17 +101,16 @@ class PartitionedSearcher:
         self,
         queries: np.ndarray,   # (Q, d) float32
         user_ids: np.ndarray,  # (Q,)
-        user_masks: np.ndarray,  # (num_users, W) or (Q, W) per-query masks
+        user_masks: np.ndarray,  # the (num_users, W) table, indexed by user_ids
         k: int,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Return (dists (Q, k), arena_row_ids (Q, k)); -1/inf pads."""
+        from ..rbac.world import query_masks_for
+
         queries = np.asarray(queries, dtype=np.float32)
         user_ids = np.asarray(user_ids)
         nq = queries.shape[0]
-        if user_masks.shape[0] == nq and user_masks.ndim == 2 and nq != 0:
-            qmasks = np.asarray(user_masks, dtype=np.uint32)
-        else:
-            qmasks = np.asarray(user_masks, dtype=np.uint32)[user_ids]
+        qmasks = query_masks_for(user_masks, user_ids)
 
         # group queries by partition (batched multi-tenant execution);
         # strategies with vector-dependent routing (qd-tree centroid

@@ -170,12 +170,12 @@ class PackedSearcher:
         self, queries: np.ndarray, user_ids: np.ndarray,
         user_masks: np.ndarray, k: int,
     ) -> Tuple[np.ndarray, np.ndarray]:
+        from ..rbac.world import query_masks_for
+
         queries = np.asarray(queries, dtype=np.float32)
         user_ids = np.asarray(user_ids)
         nq = queries.shape[0]
-        qmasks = np.asarray(user_masks, dtype=np.uint32)
-        if qmasks.shape[0] != nq:
-            qmasks = qmasks[user_ids]
+        qmasks = query_masks_for(user_masks, user_ids)
 
         # route: flatten (query, partition) pairs per bucket; strategies
         # with vector-dependent routing (qd-tree) expose vector_router

@@ -24,6 +24,28 @@ from .bitset import num_words, pack_role_sets, role_mask
 Comb = Tuple[int, ...]  # sorted tuple of role ids — a user's role combination
 
 
+def query_masks_for(user_masks: np.ndarray, user_ids: np.ndarray) -> np.ndarray:
+    """Resolve the per-query masks from the (num_users, W) user-mask TABLE.
+
+    The searcher contract is explicit: `user_masks` is always the full
+    per-user table (RBACWorld.user_masks) and is always indexed by
+    `user_ids`. A shape heuristic here previously mis-enforced RBAC when
+    num_users happened to equal the query count (a (num_users, W) table was
+    silently treated as per-query masks) — that ambiguity is now an error.
+    """
+    user_masks = np.asarray(user_masks, dtype=np.uint32)
+    user_ids = np.asarray(user_ids)
+    assert user_masks.ndim == 2, "user_masks must be the (num_users, W) table"
+    if len(user_ids):
+        hi = int(user_ids.max())
+        assert hi < user_masks.shape[0], (
+            f"user id {hi} out of range for user_masks table "
+            f"({user_masks.shape[0]} rows) — pass RBACWorld.user_masks, "
+            "not per-query masks"
+        )
+    return user_masks[user_ids]
+
+
 @dataclass(frozen=True)
 class RBACWorld:
     """Immutable RBAC universe.
