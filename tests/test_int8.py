@@ -1,0 +1,166 @@
+"""int8 quantized serving path: quantization, the fused int8 kernel
+(interpret mode), and the tiled partitioned searcher.
+
+Uses an integer-valued corpus (SIFT-shaped, values in [0, 255]) so
+quantization is LOSSLESS and assertions can be exact against the float
+oracle.
+"""
+
+import numpy as np
+import pytest
+
+from vectorsearch_rbac_tpu.core import build_device_arena
+from vectorsearch_rbac_tpu.data import sift_like_corpus
+from vectorsearch_rbac_tpu.rbac.generators import TreeRBACGenerator
+from vectorsearch_rbac_tpu.utils.config import FrameworkConfig
+
+
+@pytest.fixture(scope="module")
+def int_world():
+    return TreeRBACGenerator(
+        num_users=80, num_roles=16, num_docs=120, h=3, b0=2, b1=2, seed=5
+    ).generate()
+
+
+@pytest.fixture(scope="module")
+def int_corpus():
+    corpus, _ = sift_like_corpus(num_vectors=1200, dim=32, blocks_per_doc=10,
+                                 seed=4)
+    return corpus
+
+
+@pytest.fixture(scope="module")
+def int_arena(int_corpus, int_world):
+    return build_device_arena(int_corpus, int_world, block_rows=256,
+                              dtype="int8")
+
+
+def _oracle(corpus, world, q, mask, k):
+    bits = corpus.vector_role_bits(world)
+    adm = (bits & mask).any(axis=1)
+    dist = ((corpus.vectors.astype(np.float64) - q.astype(np.float64)) ** 2).sum(axis=1)
+    dist[~adm] = np.inf
+    order = np.argsort(dist, kind="stable")[:k]
+    return [int(i) for i in order if np.isfinite(dist[i])]
+
+
+def test_quantization_lossless_for_int_corpora(int_arena):
+    q = int_arena.quant
+    assert q is not None and q.lossless and q.scale == 1.0
+    # reconstruct: x = x_q / scale + center
+    rec = (q.host_vectors_q[: int_arena.n, : int_arena.dim].astype(np.float32)
+           / q.scale + q.center[None, :])
+    np.testing.assert_array_equal(rec, np.asarray(int_arena.host_vectors[: int_arena.n]))
+
+
+def test_quantize_queries_roundtrip(int_arena):
+    q = int_arena.quant
+    rng = np.random.default_rng(0)
+    qf = rng.integers(0, 256, (8, int_arena.dim)).astype(np.float32)
+    qq, qn = q.quantize_queries(qf)
+    assert qq.dtype == np.int8 and qn.dtype == np.int32
+    np.testing.assert_array_equal(
+        qq[:, : int_arena.dim].astype(np.float32) / q.scale + q.center, qf)
+
+
+def test_int8_kernel_interpret_exact(int_corpus, int_world, int_arena):
+    """Interpret-mode kernel vs float oracle — exact for lossless corpora,
+    modulo group-min collisions (mitigated with tiny group)."""
+    import jax.numpy as jnp
+
+    from vectorsearch_rbac_tpu.ops.pallas_scan_int8 import int8_masked_topk
+
+    quant = int_arena.quant
+    rng = np.random.default_rng(3)
+    nq, k = 16, 5
+    qf = rng.integers(0, 256, (nq, int_corpus.dim)).astype(np.float32)
+    users = rng.integers(0, int_world.num_users, nq)
+    masks = int_world.user_masks[users]
+    qq, qn = quant.quantize_queries(qf)
+    m8 = quant.quantize_masks(masks, int_world.num_roles)
+    d, i = int8_masked_topk(
+        jnp.asarray(qq), jnp.asarray(qn), quant.vectors_q, quant.norms_q,
+        quant.roles8, jnp.asarray(m8), jnp.float32(1.0 / quant.scale**2),
+        k, q_tile=16, block_rows=256, group=8, interpret=True,
+    )
+    d, i = np.asarray(d), np.asarray(i)
+    bits = int_corpus.vector_role_bits(int_world)
+    hits = total = 0
+    for qi in range(nq):
+        want = _oracle(int_corpus, int_world, qf[qi], masks[qi], k)
+        got = [int(x) for x in i[qi] if x >= 0]
+        for r in got:  # security: every returned row admissible
+            assert (bits[r] & masks[qi]).any()
+        hits += len(set(got) & set(want))
+        total += max(len(want), 1)
+        # top-1 is never lost by group-min
+        if want:
+            assert got and got[0] == want[0]
+    assert hits / total >= 0.9, f"recall {hits/total}"
+    # distances are true squared L2 (lossless quantization)
+    for qi in range(nq):
+        for j, r in enumerate(i[qi]):
+            if r >= 0:
+                true = ((int_corpus.vectors[r] - qf[qi]) ** 2).sum()
+                assert abs(d[qi, j] - true) < 1e-3
+
+
+def test_tiled_searcher_role_exact(int_corpus, int_world, int_arena):
+    """TiledSearcher on ROLE partitions matches the float oracle exactly
+    (per-chunk exact top-k, lossless quantization, no group-min)."""
+    from vectorsearch_rbac_tpu.partition import build_searcher
+
+    cfg = FrameworkConfig()
+    cfg.index.kind = "flat_approx"
+    s = build_searcher("role", int_corpus, int_world, int_arena, cfg)
+    from vectorsearch_rbac_tpu.partition.tiled import TiledSearcher
+    assert isinstance(s, TiledSearcher)
+
+    rng = np.random.default_rng(9)
+    nq, k = 24, 10
+    qf = rng.integers(0, 256, (nq, int_corpus.dim)).astype(np.float32)
+    users = rng.integers(0, int_world.num_users, nq)
+    d, ids = s.search_batch(qf, users, int_world.user_masks, k)
+    for qi in range(nq):
+        want = _oracle(int_corpus, int_world, qf[qi],
+                       int_world.user_masks[users[qi]], k)
+        got = [int(x) for x in ids[qi] if x >= 0]
+        assert set(got) == set(want), f"q{qi}: {sorted(got)} != {sorted(want)}"
+
+
+def test_tiled_searcher_dynamic(int_corpus, int_world, int_arena):
+    """Dynamic (AnonySys) strategy on the tiled engine: full recall vs
+    oracle (partitions cover each comb; fused mask rejects foreign rows)."""
+    from vectorsearch_rbac_tpu.partition import build_searcher
+
+    cfg = FrameworkConfig()
+    cfg.index.kind = "flat_approx"
+    cfg.optimizer.storage_alpha = 1.5
+    s = build_searcher("dynamic", int_corpus, int_world, int_arena, cfg)
+
+    rng = np.random.default_rng(11)
+    nq, k = 16, 8
+    qf = rng.integers(0, 256, (nq, int_corpus.dim)).astype(np.float32)
+    users = rng.integers(0, int_world.num_users, nq)
+    d, ids = s.search_batch(qf, users, int_world.user_masks, k)
+    for qi in range(nq):
+        want = _oracle(int_corpus, int_world, qf[qi],
+                       int_world.user_masks[users[qi]], k)
+        got = [int(x) for x in ids[qi] if x >= 0]
+        assert set(got) == set(want), f"q{qi}"
+
+
+def test_tiled_zero_role_user(int_corpus, int_world, int_arena):
+    from vectorsearch_rbac_tpu.partition import build_searcher
+
+    cfg = FrameworkConfig()
+    cfg.index.kind = "flat_approx"
+    s = build_searcher("user", int_corpus, int_world, int_arena, cfg)
+    # craft a mask table with user 0 having no roles
+    masks = int_world.user_masks.copy()
+    masks[0] = 0
+    qf = np.zeros((1, int_corpus.dim), dtype=np.float32)
+    d, ids = s.search_batch(qf, np.array([0]), masks, 5)
+    # user 0's comb router may still route by roles; rows must be masked out
+    # if the router yields nothing, everything is -1 anyway
+    assert ((ids[0] == -1) | (d[0] < np.inf)).all()

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import cached_property
-from typing import Optional
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -87,6 +87,102 @@ def pad_rows(n: int, multiple: int) -> int:
 
 
 @dataclass(frozen=True)
+class ArenaQuant:
+    """Symmetric int8 quantization of the arena (analog of pgvector's
+    halfvec/bit type layer + SIMD dispatch, reference pgvector/src/
+    halfutils.c, bitutils.c — the TPU version feeds the MXU's 2x-rate int8
+    path and halves HBM reads).
+
+    x_q = round((x - center) * scale) clipped to [-128, 127]. SIFT-family
+    corpora (uint8 component values) quantize EXACTLY with center=128,
+    scale=1. Distances come back in the scaled integer domain:
+    true_sq_l2 = (||x_q||^2 - 2 q_q . x_q + ||q_q||^2) / scale^2 (+ rerank
+    for lossy corpora).
+
+    roles8 is the role-bitset as an int8 one-hot (Npad, R_pad): the fused
+    permission check becomes a second int8 MXU matmul (admit = roles8 .
+    user_onehot > 0), replacing a multi-pass VPU bitset loop.
+    """
+
+    vectors_q: object    # jax.Array (Npad, d_pad) int8
+    norms_q: object      # jax.Array (Npad,) int32: ||x_q||^2
+    roles8: object       # jax.Array (Npad, R_pad) int8 0/1 one-hot
+    scale: float
+    center: np.ndarray   # (d,) float32
+    lossless: bool       # True when quantization is exact (SIFT-family)
+    host_vectors_q: Optional[np.ndarray] = None   # (Npad, d_pad) int8
+    host_norms_q: Optional[np.ndarray] = None     # (Npad,) int32
+    host_roles8: Optional[np.ndarray] = None      # (Npad, R_pad) int8
+
+    @property
+    def d_pad(self) -> int:
+        return self.vectors_q.shape[1]
+
+    @property
+    def r_pad(self) -> int:
+        return self.roles8.shape[1]
+
+    def quantize_queries(self, q: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """(Q, d) float32 -> ((Q, d_pad) int8, (Q,) int32 query norms)."""
+        qs = (np.asarray(q, dtype=np.float32) - self.center[None, :]) * self.scale
+        qq = np.clip(np.rint(qs), -128, 127).astype(np.int8)
+        d_pad = self.d_pad
+        if qq.shape[1] < d_pad:
+            qq = np.concatenate(
+                [qq, np.zeros((qq.shape[0], d_pad - qq.shape[1]), np.int8)], axis=1)
+        qn = np.einsum("qd,qd->q", qq.astype(np.int64), qq.astype(np.int64))
+        return qq, qn.astype(np.int32)
+
+    def quantize_masks(self, masks: np.ndarray,
+                       num_roles: Optional[int] = None) -> np.ndarray:
+        """(Q, W) uint32 bitmasks -> (Q, R_pad) int8 one-hot."""
+        return bits_to_onehot8(np.asarray(masks, dtype=np.uint32),
+                               num_roles or self.r_pad, self.r_pad)
+
+
+def bits_to_onehot8(bits: np.ndarray, num_roles: int, r_pad: int) -> np.ndarray:
+    """(N, W) uint32 bitsets -> (N, r_pad) int8 0/1 one-hot."""
+    n, w = bits.shape
+    out = np.zeros((n, r_pad), dtype=np.int8)
+    for r in range(min(num_roles, r_pad, w * 32)):
+        out[:, r] = ((bits[:, r // 32] >> np.uint32(r % 32)) & 1).astype(np.int8)
+    return out
+
+
+def quantize_corpus(
+    vectors: np.ndarray, npad: int
+) -> Tuple[np.ndarray, np.ndarray, float, np.ndarray, bool]:
+    """Symmetric int8 quantization. Returns (x_q (npad, d_pad) int8,
+    norms (npad,) int32, scale, center (d,), lossless)."""
+    n, d = vectors.shape
+    d_pad = ((d + 127) // 128) * 128
+    lo = vectors.min(axis=0) if n else np.zeros(d, np.float32)
+    hi = vectors.max(axis=0) if n else np.ones(d, np.float32)
+    center = ((lo + hi) / 2.0).astype(np.float32)
+    span = float(np.max(hi - center)) or 1.0
+    # integer-valued corpora in [0, 255] (SIFT family): shift-only, exact
+    is_int_valued = bool(
+        n and np.all(lo >= 0) and np.all(hi <= 255)
+        and np.allclose(vectors[: min(n, 4096)],
+                        np.rint(vectors[: min(n, 4096)]))
+    )
+    if is_int_valued:
+        center = np.full(d, 128.0, dtype=np.float32)
+        scale = 1.0
+        lossless = True
+    else:
+        scale = 127.0 / span
+        lossless = False
+    xq = np.zeros((npad, d_pad), dtype=np.int8)
+    xs = (vectors - center[None, :]) * scale
+    xq[:n, :d] = np.clip(np.rint(xs), -128, 127).astype(np.int8)
+    norms = np.zeros(npad, dtype=np.int32)
+    x64 = xq[:n].astype(np.int64)
+    norms[:n] = np.einsum("nd,nd->n", x64, x64).astype(np.int32)
+    return xq, norms, scale, center, lossless
+
+
+@dataclass(frozen=True)
 class DeviceArena:
     """Device-resident arena: vectors + squared norms + role bitsets, padded
     to a block multiple. Padding rows have role_bits == 0, so the fused
@@ -109,6 +205,8 @@ class DeviceArena:
     # a full (Q, N) elementwise pass per scan; hi/lo split keeps ~1e-5
     # relative norm precision in bf16
     vectors_aug: Optional[object] = None        # jax.Array (Npad, d_aug)
+    # int8 quantized mirror (see ArenaQuant): the fastest serving path
+    quant: Optional[ArenaQuant] = None
 
     @property
     def n_padded(self) -> int:
@@ -129,9 +227,17 @@ def build_device_arena(
                              # (non-augmented) path is needed, e.g. the
                              # ground-truth oracle arena at 10M scale
 ) -> DeviceArena:
-    """Upload the corpus once into HBM, padded to a block multiple."""
+    """Upload the corpus once into HBM, padded to a block multiple.
+
+    dtype "int8" stores the serving copy quantized (ArenaQuant) with a
+    bfloat16 full-precision mirror for rerank/graph paths; the augmented
+    layout is skipped (the int8 kernel folds permission checks itself).
+    """
     import jax
     import jax.numpy as jnp
+
+    quantized = dtype == "int8"
+    store_dtype = "bfloat16" if quantized else dtype
 
     n, d = corpus.n, corpus.dim
     npad = pad_rows(max(n, 1), block_rows)
@@ -143,8 +249,26 @@ def build_device_arena(
     bits[:n] = corpus.vector_role_bits(world)
 
     put = (lambda x: jax.device_put(x, device)) if device is not None else jax.device_put
+
+    quant = None
+    if quantized:
+        xq, nq_, scale, center, lossless = quantize_corpus(corpus.vectors, npad)
+        r_pad = ((world.num_roles + 127) // 128) * 128
+        roles8 = bits_to_onehot8(bits, world.num_roles, r_pad)
+        quant = ArenaQuant(
+            vectors_q=put(xq),
+            norms_q=put(nq_),
+            roles8=put(roles8),
+            scale=scale,
+            center=center,
+            lossless=lossless,
+            host_vectors_q=xq,
+            host_norms_q=nq_,
+            host_roles8=roles8,
+        )
+
     return DeviceArena(
-        vectors=put(vecs.astype(jnp.dtype(dtype))),
+        vectors=put(vecs.astype(jnp.dtype(store_dtype))),
         norms=put(norms),
         role_bits=put(bits),
         n=n,
@@ -154,9 +278,10 @@ def build_device_arena(
         host_norms=norms,
         host_bits=bits,
         vectors_aug=(
-            put(augment_with_norms(vecs, norms).astype(jnp.dtype(dtype)))
-            if with_aug else None
+            put(augment_with_norms(vecs, norms).astype(jnp.dtype(store_dtype)))
+            if (with_aug and not quantized) else None
         ),
+        quant=quant,
     )
 
 

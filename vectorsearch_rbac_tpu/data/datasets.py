@@ -27,12 +27,27 @@ from ..core import Corpus
 SIFT_DOCUMENT_VECTOR_COUNT = 100
 
 
-def _group_into_documents(vectors: np.ndarray, blocks_per_doc: int) -> Corpus:
+def _group_into_documents(vectors: np.ndarray, blocks_per_doc: int,
+                          interleave: bool = True) -> Corpus:
+    """Assign consecutive vectors to documents of `blocks_per_doc` blocks.
+
+    interleave=True strides same-document blocks across the row space
+    (row order: all block-0s, then block-1s, ...). Permissions are
+    per-document, so without interleaving admissible rows form dense
+    100-row runs; group-reduce scan epilogues (ops/pallas_scan_int8) then
+    lose ~9 of the top-100 to same-group collisions at 4% selectivity
+    (measured), versus ~0.3 with strided layout. Row identity (doc_id,
+    block_id) travels with the vector, so results are unaffected.
+    """
     n = vectors.shape[0]
     doc_ids = (np.arange(n) // blocks_per_doc).astype(np.int32)
     block_ids = (np.arange(n) % blocks_per_doc).astype(np.int32)
+    if interleave and blocks_per_doc > 1:
+        perm = np.argsort(block_ids, kind="stable")
+        vectors, doc_ids, block_ids = vectors[perm], doc_ids[perm], block_ids[perm]
     return Corpus(vectors=np.ascontiguousarray(vectors, dtype=np.float32),
-                  doc_ids=doc_ids, block_ids=block_ids)
+                  doc_ids=np.ascontiguousarray(doc_ids),
+                  block_ids=np.ascontiguousarray(block_ids))
 
 
 def synthetic_corpus(

@@ -1,0 +1,165 @@
+"""Int8 flat index: the quantized fused-scan serving path.
+
+The RLS-analog global searcher on the int8 arena (see core.ArenaQuant and
+ops/pallas_scan_int8): int8 distances + int8 role-matmul admissibility on
+the MXU, packed group-minima epilogue. This is the framework's fastest
+global path — pgvector's halfvec/SIMD layer analog (reference
+pgvector/src/halfutils.c) fused with its RLS policy check
+(row_level_security.py:54).
+
+For lossy (non-integer) corpora an optional f32 rerank pass re-scores the
+top candidates against the full-precision arena mirror, restoring exact
+distance order at negligible cost (a (Q, k+margin, d) gather).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from ..core import DeviceArena
+from ..utils.logger import get_logger
+
+logger = get_logger("index.flat_int8")
+
+
+class Int8FlatIndex:
+    def __init__(
+        self,
+        arena: DeviceArena,
+        rows: Optional[np.ndarray] = None,
+        query_batch: int = 4096,
+        q_tile: int = 512,
+        block_rows: int = 4096,
+        group: int = 64,
+        rerank: Optional[bool] = None,  # None = auto (rerank iff lossy)
+        rerank_margin: int = 32,
+    ):
+        import jax
+
+        assert arena.quant is not None, (
+            "Int8FlatIndex needs an int8-quantized arena"
+        )
+        q = arena.quant
+        self._arena = arena
+        self.query_batch = query_batch
+        self.q_tile = min(q_tile, query_batch)
+        self.block_rows = block_rows
+        self.group = group
+        self.rerank = (not q.lossless) if rerank is None else rerank
+        self.rerank_margin = rerank_margin
+
+        if rows is None:
+            self.n_rows = arena.n
+            self._vq = q.vectors_q
+            self._nq = q.norms_q
+            self._r8 = q.roles8
+            self._row_map = None
+            self._gathered = False
+        else:
+            from .flat import _pad_to_bucket
+
+            rows = np.asarray(rows, dtype=np.int64)
+            self.n_rows = len(rows)
+            npad = _pad_to_bucket(max(self.n_rows, 1), block_rows)
+            pad = npad - self.n_rows
+            hv, hn, hr = q.host_vectors_q, q.host_norms_q, q.host_roles8
+            vq = np.concatenate([hv[rows], np.zeros((pad, hv.shape[1]), np.int8)])
+            nq_ = np.concatenate([hn[rows], np.zeros(pad, np.int32)])
+            r8 = np.concatenate([hr[rows], np.zeros((pad, hr.shape[1]), np.int8)])
+            rmap = np.concatenate([rows, np.full(pad, -1)]).astype(np.int32)
+            self._vq = jax.device_put(vq)
+            self._nq = jax.device_put(nq_)
+            self._r8 = jax.device_put(r8)
+            self._row_map = jax.device_put(rmap)
+            self._gathered = True
+        self._quant = q
+
+    # ------------------------------------------------------------- search
+
+    def search_deferred(self, queries: np.ndarray, query_masks: np.ndarray,
+                        k: int):
+        import jax.numpy as jnp
+
+        from ..ops.pallas_scan_int8 import int8_masked_topk
+        from .flat import _map_rows
+
+        quant = self._quant
+        qf = np.asarray(queries, dtype=np.float32)
+        masks = np.asarray(query_masks, dtype=np.uint32)
+        nq = qf.shape[0]
+        bs = self.query_batch
+        q8, qn = quant.quantize_queries(qf)
+        m8 = quant.quantize_masks(masks, None)
+        inv = jnp.float32(1.0 / quant.scale**2)
+
+        pending = []
+        for s in range(0, nq, bs):
+            e = min(s + bs, nq)
+            q8b = np.zeros((bs, q8.shape[1]), dtype=np.int8)
+            qnb = np.zeros(bs, dtype=np.int32)
+            m8b = np.zeros((bs, m8.shape[1]), dtype=np.int8)
+            q8b[: e - s] = q8[s:e]
+            qnb[: e - s] = qn[s:e]
+            m8b[: e - s] = m8[s:e]
+            kk = k + self.rerank_margin if self.rerank else k
+            d, i = int8_masked_topk(
+                jnp.asarray(q8b), jnp.asarray(qnb), self._vq, self._nq,
+                self._r8, jnp.asarray(m8b), inv, kk,
+                q_tile=self.q_tile, block_rows=self.block_rows,
+                group=self.group,
+            )
+            if self.rerank:
+                d, i = _rerank_f32(
+                    jnp.asarray(qf[s:e] if e - s == bs else
+                                np.concatenate([qf[s:e], np.zeros((bs - (e - s), qf.shape[1]), np.float32)])),
+                    d, i, self._arena, k,
+                )
+            if self._row_map is not None:
+                i = _map_rows(i, self._row_map)
+            pending.append((s, e, d, i))
+
+        def finalize():
+            out_d = np.empty((nq, k), dtype=np.float32)
+            out_i = np.empty((nq, k), dtype=np.int64)
+            for s, e, d, i in pending:
+                out_d[s:e] = np.asarray(d)[: e - s, :k]
+                out_i[s:e] = np.asarray(i)[: e - s, :k]
+            return out_d, out_i
+
+        return finalize
+
+    def search(self, queries, query_masks, k) -> Tuple[np.ndarray, np.ndarray]:
+        return self.search_deferred(queries, query_masks, k)()
+
+    # ------------------------------------------------------------ storage
+
+    def storage_bytes(self) -> Dict[str, int]:
+        npad, d = self._vq.shape
+        r = self._r8.shape[1]
+        vec = npad * d          # int8
+        aux = npad * (r + 4 + (4 if self._gathered else 0))
+        if not self._gathered:
+            return {"vectors": 0, "index": 0}  # arena-shared, counted there
+        return {"vectors": int(vec), "index": int(aux)}
+
+
+def _rerank_f32(queries_f32, dists_q, idx, arena: DeviceArena, k: int):
+    """Re-score candidate ids against the full-precision arena and return
+    exact-order (k) results. Keeps -1 pads."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _go(qf, i, vec, norms):
+        safe = jnp.maximum(i, 0)
+        x = jnp.take(vec, safe, axis=0).astype(jnp.float32)   # (Q, kk, d)
+        nrm = jnp.take(norms, safe, axis=0)
+        dots = jnp.einsum("qd,qkd->qk", qf, x, preferred_element_type=jnp.float32)
+        d = nrm - 2.0 * dots + jnp.sum(qf * qf, axis=1, keepdims=True)
+        d = jnp.where(i >= 0, jnp.maximum(d, 0.0), jnp.inf)
+        neg, pos = jax.lax.top_k(-d, k)
+        return -neg, jnp.take_along_axis(i, pos, axis=1)
+
+    return _go(queries_f32, idx, arena.vectors, arena.norms)

@@ -24,7 +24,11 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 from ..core import DeviceArena
-from ..ops.graph_search import graph_search_filtered_fn, graph_search_fn
+from ..ops.graph_search import (
+    graph_search_filtered_fn,
+    graph_search_fn,
+    graph_search_iterative_fn,
+)
 from ..utils.logger import get_logger
 from .flat import _pad_to_bucket
 
@@ -260,6 +264,13 @@ class HNSWIndex:
         ef_search: Optional[int] = None,
         filtered_traversal: bool = False,  # ACORN-style 2-hop filtered beam:
                                            # use at low within-index selectivity
+        iterative: bool = False,   # pgvector-style iterative rescan: expand
+                                   # until k admissible results (per query)
+        entries: Optional[np.ndarray] = None,  # (Q,) per-query entry nodes
+                                               # (LOCAL ids) — e.g. per-comb
+                                               # admissible medoids
+        max_steps: Optional[int] = None,       # iterative expansion budget
+        harvest_2hop: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
         import jax.numpy as jnp
 
@@ -280,11 +291,23 @@ class HNSWIndex:
             mb = np.zeros((bs, mm.shape[1]), dtype=np.uint32)
             qb[: e - s] = q[s:e]
             mb[: e - s] = mm[s:e]
-            fn = graph_search_filtered_fn if filtered_traversal else graph_search_fn
-            d, i = fn(
-                jnp.asarray(qb), self._vectors, self._norms, self._bits,
-                self._graph, jnp.asarray(mb), self.entry, kk, ef,
-            )
+            if iterative:
+                ent = np.full(bs, self.entry, dtype=np.int32)
+                if entries is not None:
+                    ent[: e - s] = np.asarray(entries[s:e], dtype=np.int32)
+                ms = max_steps or 4 * ef
+                d, i = graph_search_iterative_fn(
+                    jnp.asarray(qb), self._vectors, self._norms, self._bits,
+                    self._graph, jnp.asarray(mb), jnp.asarray(ent), kk, ef,
+                    ms, harvest_2hop,
+                )
+            else:
+                fn = (graph_search_filtered_fn if filtered_traversal
+                      else graph_search_fn)
+                d, i = fn(
+                    jnp.asarray(qb), self._vectors, self._norms, self._bits,
+                    self._graph, jnp.asarray(mb), self.entry, kk, ef,
+                )
             pending.append((s, e, d, i))
         from ..ops.topk import merge_topk_host
 

@@ -283,3 +283,168 @@ def graph_search_filtered_fn(queries, vectors, norms, role_bits, graph,
         queries, vectors, norms, role_bits, graph, query_masks,
         entry=entry, k=k, ef=ef,
     )
+
+
+def graph_beam_search_iterative(
+    queries: jax.Array,      # (Q, d) float32
+    vectors: jax.Array,      # (n_pad, d) compute dtype
+    norms: jax.Array,        # (n_pad,) float32
+    role_bits: jax.Array,    # (n_pad, W) uint32
+    graph: jax.Array,        # (n_pad, M0) int32, -1 pad
+    query_masks: jax.Array,  # (Q, W) uint32
+    entries: jax.Array,      # (Q,) int32 per-query entry nodes — e.g. the
+                             # comb's admissible medoid (predicate-aware)
+    k: int,
+    ef: int,                 # beam (priority queue) width
+    max_steps: int,          # expansion budget
+    harvest_2hop: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Iterative-rescan filtered beam search — the batched analog of
+    pgvector's `hnsw.iterative_scan` (reference pgvector/src/hnsw.c:90,
+    hnswscan.c: keep scanning until k rows survive the filter).
+
+    Differences vs graph_beam_search (the round-1 fixed-budget traversal,
+    whose recall plateaued at 0.51 on 1M dynamic partitions):
+
+    - per-query TERMINATION, not a fixed step count: a query stops only
+      when its frontier is exhausted or the nearest unexpanded beam node
+      cannot improve its filtered result list (res full AND frontier_min >
+      res_max) — low-selectivity queries keep expanding, up to max_steps;
+    - EXACT visited set as a (Q, n_pad) bitmap (the round-1 beam+history
+      membership check was approximate and re-expanded nodes);
+    - per-query entry points (callers pass the admissible node nearest the
+      partition medoid per comb — starting inside the admissible region).
+    """
+    q = queries.astype(jnp.float32)
+    nq, d = q.shape
+    npad = vectors.shape[0]
+    m0 = graph.shape[1]
+    qn = jnp.sum(q * q, axis=1, keepdims=True)
+    compute_dtype = vectors.dtype
+    qc = q.astype(compute_dtype)
+    rows = jnp.arange(nq)
+
+    def dist_to(ids):
+        safe = jnp.maximum(ids, 0)
+        x = jnp.take(vectors, safe, axis=0)
+        nrm = jnp.take(norms, safe, axis=0)
+        dots = jnp.einsum("qd,qcd->qc", qc, x, preferred_element_type=jnp.float32)
+        return jnp.where(ids >= 0, nrm - 2.0 * dots, INF)
+
+    def allowed(ids):
+        safe = jnp.maximum(ids, 0)
+        bits = jnp.take(role_bits, safe, axis=0)
+        ok = jnp.any(jnp.bitwise_and(query_masks[:, None, :], bits) != 0, axis=-1)
+        return jnp.logical_and(ok, ids >= 0)
+
+    entry_ids = entries.astype(jnp.int32).reshape(nq, 1)
+    entry_d = dist_to(entry_ids)
+    # the beam holds ONLY unexpanded candidates (pgvector's candidate
+    # queue): expanded nodes leave, so the frontier never starves — the
+    # round-1 beam kept expanded nodes, which crowded out far unexpanded
+    # candidates and capped filtered recall regardless of budget
+    beam_ids = jnp.concatenate(
+        [entry_ids, jnp.full((nq, ef - 1), -1, jnp.int32)], axis=1)
+    beam_d = jnp.concatenate([entry_d, jnp.full((nq, ef - 1), INF)], axis=1)
+
+    res_ids = jnp.full((nq, k), -1, jnp.int32)
+    res_d = jnp.full((nq, k), INF)
+    e_ok = allowed(entry_ids)
+    res_ids = res_ids.at[:, 0].set(jnp.where(e_ok[:, 0], entry_ids[:, 0], -1))
+    res_d = res_d.at[:, 0].set(jnp.where(e_ok[:, 0], entry_d[:, 0], INF))
+
+    visited = jnp.zeros((nq, npad), dtype=bool)
+    visited = visited.at[rows, jnp.maximum(entries, 0)].set(True)
+
+    def cond(state):
+        t, beam_ids, beam_d, res_ids, res_d, visited = state
+        fmin = jnp.min(beam_d, axis=1)
+        # done: no frontier, or result list full and unbeatable
+        done = ~jnp.isfinite(fmin) | (fmin >= res_d[:, -1])
+        return (t < max_steps) & ~jnp.all(done)
+
+    def body(state):
+        t, beam_ids, beam_d, res_ids, res_d, visited = state
+        sel = jnp.argmin(beam_d, axis=1)
+        fmin = beam_d[rows, sel]
+        active = jnp.isfinite(fmin) & (fmin < res_d[:, -1])
+        node = jnp.where(active, beam_ids[rows, sel], -1)
+        # pop the expanded node from the queue
+        beam_d = beam_d.at[rows, sel].set(INF)
+        beam_ids = beam_ids.at[rows, sel].set(-1)
+
+        nb = jnp.take(graph, jnp.maximum(node, 0), axis=0)       # (Q, M0)
+        nb = jnp.where((node >= 0)[:, None], nb, -1)
+        seen = jnp.take_along_axis(visited, jnp.maximum(nb, 0), axis=1)
+        nb = jnp.where(seen, -1, nb)
+        visited = visited.at[rows[:, None], jnp.maximum(nb, 0)].set(
+            jnp.where(nb >= 0, True,
+                      visited[rows[:, None], jnp.maximum(nb, 0)]))
+        nd = dist_to(nb)
+
+        # queue merge: keep the ef nearest unexpanded candidates
+        all_ids = jnp.concatenate([beam_ids, nb], axis=1)
+        all_d = jnp.concatenate([beam_d, nd], axis=1)
+        neg_top, pos = jax.lax.top_k(-all_d, ef)
+        beam_d = -neg_top
+        beam_ids = jnp.take_along_axis(all_ids, pos, axis=1)
+
+        # filtered result merge (optionally harvesting the 2-hop ring)
+        if harvest_2hop:
+            nb2 = jnp.take(graph, jnp.maximum(nb, 0), axis=0)
+            nb2 = jnp.where((nb >= 0)[:, :, None], nb2, -1).reshape(nq, m0 * m0)
+            # 2-hop candidates enter the RESULT list only and are NOT
+            # marked visited (a harvested-then-displaced node must stay
+            # reachable); dedupe against the current result list and
+            # against in-hop duplicates instead
+            seen_res = jnp.any(nb2[:, :, None] == res_ids[:, None, :], axis=-1)
+            ok2 = allowed(nb2) & ~seen_res
+            nd2 = jnp.where(ok2, dist_to(nb2), INF)
+            nb2 = jnp.where(ok2, nb2, -1)
+            negh, posh = jax.lax.top_k(-nd2, k)
+            hv_d = -negh
+            hv_ids = jnp.take_along_axis(nb2, posh, axis=1)
+            dup = jnp.any(
+                (hv_ids[:, :, None] == hv_ids[:, None, :])
+                & (jax.lax.broadcasted_iota(jnp.int32, (1, k, k), 2)
+                   < jax.lax.broadcasted_iota(jnp.int32, (1, k, k), 1)),
+                axis=2,
+            )
+            hv_d = jnp.where(dup, INF, hv_d)
+            hv_ids = jnp.where(dup, -1, hv_ids)
+            # 1-hop arrivals may already sit in res (they could have been
+            # harvested un-visited in an earlier step) — dedupe those too
+            nb_in_res = jnp.any(nb[:, :, None] == res_ids[:, None, :], axis=-1)
+            cand_ids = jnp.concatenate([nb, hv_ids], axis=1)
+            cand_d = jnp.concatenate(
+                [jnp.where(allowed(nb) & ~nb_in_res, nd, INF), hv_d], axis=1)
+        else:
+            cand_ids = nb
+            cand_d = jnp.where(allowed(nb), nd, INF)
+        r_ids = jnp.concatenate([res_ids, cand_ids], axis=1)
+        r_d = jnp.concatenate([res_d, cand_d], axis=1)
+        neg_top, pos = jax.lax.top_k(-r_d, k)
+        res_d = -neg_top
+        res_ids = jnp.take_along_axis(r_ids, pos, axis=1)
+        return (t + 1, beam_ids, beam_d, res_ids, res_d, visited)
+
+    state = (jnp.int32(0), beam_ids, beam_d, res_ids, res_d, visited)
+    state = jax.lax.while_loop(cond, body, state)
+    _, _, _, res_ids, res_d, _ = state
+
+    empty = jnp.isinf(res_d)
+    dists = jnp.where(empty, INF, jnp.maximum(res_d + qn, 0.0))
+    ids = jnp.where(empty, -1, res_ids)
+    return dists, ids
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "ef", "max_steps", "harvest_2hop")
+)
+def graph_search_iterative_fn(queries, vectors, norms, role_bits, graph,
+                              query_masks, entries, k, ef, max_steps,
+                              harvest_2hop=False):
+    return graph_beam_search_iterative(
+        queries, vectors, norms, role_bits, graph, query_masks, entries,
+        k=k, ef=ef, max_steps=max_steps, harvest_2hop=harvest_2hop,
+    )

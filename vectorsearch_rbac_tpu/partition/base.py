@@ -32,6 +32,17 @@ def make_partition_index(
     """Index factory (replaces CREATE INDEX ... USING hnsw/ivfflat dispatch,
     reference controller/initialize_main_tables.py:82)."""
     kind = cfg.index.kind
+    if kind == "flat_approx" and arena.quant is not None:
+        # quantized arena: the int8 fused kernel is the fastest flat path.
+        # ("flat" = the exact oracle keeps the f32 scan: the int8 kernel's
+        # group-min epilogue is approximate even when quantization is
+        # lossless.)
+        from ..index.flat_int8 import Int8FlatIndex
+        return Int8FlatIndex(
+            arena, rows,
+            query_batch=cfg.search.batch_size,
+            block_rows=min(cfg.search.block_rows, 8192),
+        )
     if kind == "flat":
         return FlatIndex(
             arena, rows,

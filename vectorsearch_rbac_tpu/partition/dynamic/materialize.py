@@ -140,6 +140,12 @@ def build_dynamic_searcher(
         return tuple(sorted(set(acc)))
 
     if packed and cfg.index.kind in ("flat", "flat_approx"):
+        if arena.quant is not None:
+            from ..tiled import TiledSearcher
+            searcher = TiledSearcher(arena, partition_rows, router,
+                                     name="dynamic", num_roles=world.num_roles)
+            searcher.plan = plan
+            return searcher
         from ..packed import PackedSearcher
         searcher = PackedSearcher(
             arena, partition_rows, router, name="dynamic",
@@ -203,10 +209,10 @@ def apply_plan_update(
     tables, load_result_to_database.py:114-188)."""
     old_plan: PartitionPlan = searcher.plan
     arena = searcher.arena
-    if hasattr(searcher, "buckets"):
-        # packed layout: stacked bucket arrays are rebuilt wholesale (host
-        # stacking + one upload — cheap next to index builds); incremental
-        # per-partition reuse applies to the unpacked layout below
+    if hasattr(searcher, "buckets") or hasattr(searcher, "part_chunks"):
+        # packed/tiled layout: stacked chunk arrays are rebuilt wholesale
+        # (host stacking + one upload — cheap next to index builds);
+        # incremental per-partition reuse applies to the unpacked layout
         return build_dynamic_searcher(corpus, world, arena, cfg,
                                       plan=new_plan, packed=True)
     partitions: Dict[int, BuiltPartition] = {}

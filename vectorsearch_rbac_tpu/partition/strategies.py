@@ -61,6 +61,10 @@ def build_role_searcher(
         return tuple(r for r in user_to_roles.get(uid, ()) if r in partition_rows)
 
     if packed and cfg.index.kind in ("flat", "flat_approx"):
+        if arena.quant is not None:
+            from .tiled import TiledSearcher
+            return TiledSearcher(arena, partition_rows, router, name="role",
+                                 num_roles=world.num_roles)
         from .packed import PackedSearcher
         return PackedSearcher(arena, partition_rows, router, name="role",
                               mode="exact" if cfg.index.kind == "flat" else "approx")
@@ -96,6 +100,10 @@ def build_comb_searcher(
         return (pid,) if pid is not None else ()
 
     if packed and cfg.index.kind in ("flat", "flat_approx"):
+        if arena.quant is not None:
+            from .tiled import TiledSearcher
+            return TiledSearcher(arena, partition_rows, router, name="user",
+                                 num_roles=world.num_roles)
         from .packed import PackedSearcher
         return PackedSearcher(arena, partition_rows, router, name="user",
                               mode="exact" if cfg.index.kind == "flat" else "approx")

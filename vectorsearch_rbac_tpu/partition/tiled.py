@@ -1,0 +1,235 @@
+"""TiledSearcher: partitioned serving over contiguous int8 chunk storage.
+
+The round-2 replacement for partition/packed.py's gather-based engine: each
+partition's rows live once, contiguously, as fixed-size chunks of the
+quantized arena (int8 vectors + int8 role one-hots + int32 norms), and a
+query batch is grouped into per-partition q_tiles so every partition is
+read from HBM once per ~q_tile queries instead of once per query.
+
+Mirrors the reference's physically-materialized partition tables
+(documentblocks_role_<r> / _partition_<p>, reference
+controller/baseline/prefilter/initialize_partitions.py:261,
+controller/dynamic_partition/load_result_to_database.py:191) — but the
+"tables" are chunk-granular slices of one packed device array, and a whole
+strategy's query fan-out is a handful of dispatches (one per size bucket).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..core import DeviceArena
+from ..ops.tiled_scan import tiled_bucket_topk
+from ..ops.topk import merge_topk_host
+from ..utils.logger import get_logger
+from ..utils.tracing import StageTimer
+
+logger = get_logger("partition.tiled")
+
+
+def _pow2(n: int) -> int:
+    return 1 << (max(n, 1) - 1).bit_length()
+
+
+# dispatch-shape discipline: at most 2 chunk classes x 1 slot count
+_SMALL_CHUNKS = 8          # small class: partitions <= 8 chunks (16k rows)
+_SLOTS_PER_DISPATCH = 64   # fixed slot count per dispatch (64 x q_tile=64
+                           # -> 4096 queries per dispatch)
+
+
+class TiledSearcher:
+    """Partitioned strategy executor over packed int8 chunks."""
+
+    def __init__(
+        self,
+        arena: DeviceArena,
+        partition_rows: Dict[int, np.ndarray],   # pid -> arena row ids
+        router: Callable[[int], Sequence[int]],
+        name: str,
+        chunk_rows: int = 2048,
+        q_tile: int = 64,
+        num_roles: Optional[int] = None,
+    ):
+        import jax
+
+        assert arena.quant is not None, (
+            "TiledSearcher needs an int8-quantized arena "
+            "(build_device_arena(dtype='int8'))"
+        )
+        q = arena.quant
+        self.arena = arena
+        self.router = router
+        self.name = name
+        self.chunk_rows = chunk_rows
+        self.q_tile = q_tile
+        self.timer = StageTimer()
+        self._quant = q
+
+        hv, hn, hr = q.host_vectors_q, q.host_norms_q, q.host_roles8
+        d, r_pad = hv.shape[1], hr.shape[1]
+
+        # chunk 0 is the dummy all-masked chunk (zero role one-hot rows are
+        # inadmissible for every query) — padding slots point here
+        part_chunks: Dict[int, List[int]] = {}
+        n_chunks_total = 1
+        for pid, rows in sorted(partition_rows.items()):
+            if len(rows) == 0:
+                continue
+            nc = -(-len(rows) // chunk_rows)
+            part_chunks[pid] = list(range(n_chunks_total, n_chunks_total + nc))
+            n_chunks_total += nc
+
+        vecC = np.zeros((n_chunks_total, chunk_rows, d), dtype=np.int8)
+        normC = np.zeros((n_chunks_total, chunk_rows), dtype=np.int32)
+        roleC = np.zeros((n_chunks_total, chunk_rows, r_pad), dtype=np.int8)
+        rowC = np.full((n_chunks_total, chunk_rows), -1, dtype=np.int32)
+        for pid, cids in part_chunks.items():
+            rows = np.asarray(partition_rows[pid], dtype=np.int64)
+            for j, cid in enumerate(cids):
+                sl = rows[j * chunk_rows:(j + 1) * chunk_rows]
+                m = len(sl)
+                vecC[cid, :m] = hv[sl]
+                normC[cid, :m] = hn[sl]
+                roleC[cid, :m] = hr[sl]
+                rowC[cid, :m] = sl.astype(np.int32)
+
+        self._vecC = jax.device_put(vecC)
+        self._normC = jax.device_put(normC)
+        self._roleC = jax.device_put(roleC)
+        self._rowC = jax.device_put(rowC)
+        self.part_chunks = part_chunks
+        self.partitions = {pid: None for pid in part_chunks}  # count only
+        self.num_roles = num_roles
+        self._chunk_bytes = (
+            n_chunks_total * chunk_rows * (d + r_pad + 4 + 4)
+        )
+        logger.info(
+            "tiled searcher '%s': %d partitions, %d chunks x %d rows "
+            "(%.1f MB packed)",
+            name, len(part_chunks), n_chunks_total, chunk_rows,
+            self._chunk_bytes / 1e6,
+        )
+
+    # ------------------------------------------------------------- search
+
+    def search_batch(
+        self, queries: np.ndarray, user_ids: np.ndarray,
+        user_masks: np.ndarray, k: int,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        import jax.numpy as jnp
+
+        from ..rbac.world import query_masks_for
+
+        q = self._quant
+        queries = np.asarray(queries, dtype=np.float32)
+        user_ids = np.asarray(user_ids)
+        nq = queries.shape[0]
+        qmasks = query_masks_for(user_masks, user_ids)
+
+        with self.timer.stage("route"):
+            vrouter = getattr(self, "vector_router", None)
+            pid_queries: Dict[int, List[int]] = {}
+            n_pids = np.zeros(nq, dtype=np.int32)
+            for qi in range(nq):
+                pids = (vrouter(int(user_ids[qi]), queries[qi]) if vrouter
+                        else self.router(int(user_ids[qi])))
+                pids = [p for p in pids if p in self.part_chunks]
+                n_pids[qi] = len(pids)
+                for pid in pids:
+                    pid_queries.setdefault(pid, []).append(qi)
+
+        with self.timer.stage("quantize"):
+            q8, qn = q.quantize_queries(queries)
+            m8 = q.quantize_masks(
+                qmasks, self.num_roles if self.num_roles else q.r_pad)
+
+        # slots: (pid, query idx list of <= q_tile). To bound XLA compiles
+        # (minutes each through a remote tunnel) there are at most TWO
+        # dispatch shapes: a small class (<= _SMALL_CHUNKS chunks) and a
+        # large class (padded to the strategy's max chunk count), each with
+        # a fixed slot count per dispatch (excess slots = more dispatches
+        # of the same compiled shape).
+        qt = self.q_tile
+        chunks_max = max((len(c) for c in self.part_chunks.values()), default=1)
+        small_cap = min(_SMALL_CHUNKS, _pow2(chunks_max))
+        large_cap = _pow2(chunks_max)
+        buckets: Dict[int, List[Tuple[int, List[int]]]] = {}
+        for pid, qidx in pid_queries.items():
+            nc = len(self.part_chunks[pid])
+            cb = small_cap if nc <= small_cap else large_cap
+            for s in range(0, len(qidx), qt):
+                buckets.setdefault(cb, []).append((pid, qidx[s:s + qt]))
+
+        results: List[Tuple[List[Tuple[int, List[int]]], object, object]] = []
+        with self.timer.stage("device_scan"):
+            pending = []
+            for cb, all_slots in sorted(buckets.items()):
+                for g0 in range(0, len(all_slots), _SLOTS_PER_DISPATCH):
+                    slots = all_slots[g0:g0 + _SLOTS_PER_DISPATCH]
+                    s_pad = (_SLOTS_PER_DISPATCH
+                             if len(all_slots) >= _SLOTS_PER_DISPATCH
+                             else _pow2(len(slots)))
+                    q8P = np.zeros((s_pad * qt, q8.shape[1]), dtype=np.int8)
+                    qnP = np.zeros(s_pad * qt, dtype=np.int32)
+                    m8P = np.zeros((s_pad * qt, m8.shape[1]), dtype=np.int8)
+                    cidP = np.zeros((s_pad, cb), dtype=np.int32)   # 0 = dummy
+                    for si, (pid, qidx) in enumerate(slots):
+                        base = si * qt
+                        q8P[base:base + len(qidx)] = q8[qidx]
+                        qnP[base:base + len(qidx)] = qn[qidx]
+                        m8P[base:base + len(qidx)] = m8[qidx]
+                        cids = self.part_chunks[pid]
+                        cidP[si, :len(cids)] = cids
+                    d, i = tiled_bucket_topk(
+                        jnp.asarray(q8P), jnp.asarray(qnP), jnp.asarray(m8P),
+                        jnp.asarray(cidP), self._vecC, self._normC,
+                        self._roleC, self._rowC,
+                        jnp.float32(1.0 / q.scale**2), k, cb, qt,
+                    )
+                    pending.append((slots, d, i))
+            for slots, d, i in pending:
+                results.append((slots, np.asarray(d), np.asarray(i)))
+
+        with self.timer.stage("merge"):
+            out_d = np.full((nq, k), np.inf)
+            out_i = np.full((nq, k), -1, dtype=np.int64)
+            multi: Dict[int, List[Tuple[np.ndarray, np.ndarray]]] = {}
+            for slots, d, i in results:
+                for si, (pid, qidx) in enumerate(slots):
+                    base = si * self.q_tile
+                    for j, qi in enumerate(qidx):
+                        if n_pids[qi] == 1:
+                            out_d[qi] = d[base + j]
+                            out_i[qi] = i[base + j]
+                        else:
+                            multi.setdefault(qi, []).append(
+                                (d[base + j:base + j + 1],
+                                 i[base + j:base + j + 1]))
+            for qi, parts in multi.items():
+                md, mi = merge_topk_host([p[0] for p in parts],
+                                         [p[1] for p in parts], k)
+                out_d[qi] = md[0]
+                out_i[qi] = mi[0]
+        return out_d, out_i
+
+    # ------------------------------------------------------------ storage
+
+    def storage_report(self) -> Dict[str, float]:
+        mb = 1024 * 1024
+        a = self.arena
+        arena_vec = a.n_padded * a.dim * a.vectors.dtype.itemsize
+        arena_aux = a.n_padded * (4 + 4 * a.role_bits.shape[1])
+        d = self._vecC.shape[2]
+        slots = self._vecC.shape[0] * self._vecC.shape[1]
+        pv = slots * d                      # int8 vectors
+        pi = slots * (self._roleC.shape[2] + 4 + 4)  # roles8 + norms + rowmap
+        return {
+            "arena_vectors_mb": arena_vec / mb,
+            "arena_aux_mb": arena_aux / mb,
+            "partition_vectors_mb": pv / mb,
+            "partition_index_mb": pi / mb,
+            "total_mb": (arena_vec + arena_aux + pv + pi) / mb,
+            "num_partitions": len(self.part_chunks),
+        }
