@@ -107,8 +107,9 @@ def test_dynamic_searcher_end_to_end(small_world, small_corpus):
 
 
 def test_dynamic_hnsw_selectivity_scaled_ef(small_world, small_corpus):
-    """Graph-indexed dynamic partitions scale each probe's ef by the
-    (comb, partition) selectivity — recall must beat the fixed-ef run."""
+    """Graph-indexed dynamic partitions serve iterative rescans with
+    selectivity-scaled expansion budgets and per-comb admissible entries
+    (the pgvector hnsw.iterative_scan analog)."""
     import vectorsearch_rbac_tpu.native as native
     if not native.available():
         import pytest
@@ -129,7 +130,9 @@ def test_dynamic_hnsw_selectivity_scaled_ef(small_world, small_corpus):
     kws = [s.probe_params(uid, pid) for pid in pids]
     assert all(kw["ef_search"] >= 16 and (kw["ef_search"] & (kw["ef_search"] - 1)) == 0
                for kw in kws)
-    assert all("filtered_traversal" in kw for kw in kws)
+    assert all(kw["iterative"] for kw in kws)
+    assert all(kw["max_steps"] >= kw["ef_search"] for kw in kws)
+    assert all("entry_local" in kw for kw in kws)  # admissible entry found
 
     rng = np.random.default_rng(4)
     q = rng.standard_normal((12, small_corpus.dim)).astype(np.float32)

@@ -80,3 +80,81 @@ def test_hnsw_subset_rows(small_world, small_corpus):
     for row in ids.ravel():
         if row >= 0:
             assert int(row) in row_set
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_tpu_builder_navigable_on_clustered_data():
+    """Regression: a pruned kNN graph alone is NOT navigable from a medoid
+    entry on clustered data (cluster islands gave recall 0.0 at 30k rows).
+    The Vamana construction (random long-range candidates + search-based
+    refinement, index/hnsw.py _vamana_refine) must keep the graph navigable:
+    unfiltered medoid-entry search must find the true nearest neighbors."""
+    from vectorsearch_rbac_tpu.data import sift_like_corpus
+    from vectorsearch_rbac_tpu.rbac.generators import TreeRBACGenerator
+
+    corpus, qpool = sift_like_corpus(num_vectors=12_000, blocks_per_doc=100,
+                                     dim=32, seed=11)
+    world = TreeRBACGenerator(num_users=40, num_roles=12, num_docs=120,
+                              h=2, b0=3, b1=4, seed=2).generate()
+    arena = build_device_arena(corpus, world, block_rows=1024)
+    idx = HNSWIndex(arena, rows=None, m=12, ef_search=64, query_batch=16,
+                    builder="tpu", knn_k=24, seed=0)
+    rng = np.random.default_rng(3)
+    nq = 16
+    q = qpool[rng.choice(len(qpool), nq, replace=False)].astype(np.float32)
+    allmask = np.full((nq, world.words), 0xFFFFFFFF, dtype=np.uint32)
+    d, ids = idx.search(q, allmask, k=10, ef_search=96)
+    vec = corpus.vectors
+    d2 = np.einsum("nd,nd->n", vec, vec)[None, :] - 2 * q @ vec.T
+    truth = np.argsort(d2, axis=1, kind="stable")[:, :10]
+    hits = sum(
+        len(set(int(x) for x in ids[i] if x >= 0) & set(truth[i].tolist()))
+        for i in range(nq))
+    recall = hits / (nq * 10)
+    assert recall > 0.9, f"tpu-built graph not navigable: recall {recall}"
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_iterative_rescan_low_selectivity():
+    """pgvector iterative_scan analog: at ~6% uniform selectivity the
+    iterative rescan with 2-hop harvest must recover what the fixed-budget
+    traversal misses (ops/graph_search.graph_beam_search_iterative)."""
+    import jax.numpy as jnp
+
+    from vectorsearch_rbac_tpu.data import sift_like_corpus
+    from vectorsearch_rbac_tpu.ops.graph_search import (
+        graph_search_fn, graph_search_iterative_fn)
+
+    corpus, qpool = sift_like_corpus(num_vectors=8192, blocks_per_doc=1,
+                                     dim=32, seed=5)
+    vec = corpus.vectors.astype(np.float32)
+    n = len(vec)
+    rng = np.random.default_rng(9)
+    adm = rng.random(n) < 0.06
+    bits = np.zeros((n, 1), dtype=np.uint32)
+    bits[adm, 0] = 1
+    nbr, levels, entry, _ = native.hnsw_build(vec, m=16, ef_construction=64,
+                                              seed=0)
+    nq, k = 32, 10
+    q = qpool[rng.choice(len(qpool), nq, replace=False)].astype(np.float32)
+    masks = np.ones((nq, 1), dtype=np.uint32)
+    norms = np.einsum("nd,nd->n", vec, vec).astype(np.float32)
+    d2 = norms[None, :] - 2 * q @ vec.T
+    d2[:, ~adm] = np.inf
+    truth = np.argsort(d2, axis=1, kind="stable")[:, :k]
+
+    args = (jnp.asarray(q), jnp.asarray(vec), jnp.asarray(norms),
+            jnp.asarray(bits), jnp.asarray(nbr), jnp.asarray(masks))
+    ents = jnp.full((nq,), int(entry), dtype=jnp.int32)
+
+    def recall(ids):
+        ids = np.asarray(ids)
+        return sum(
+            len(set(ids[i][ids[i] >= 0].tolist()) & set(truth[i].tolist()))
+            for i in range(nq)) / (nq * k)
+
+    _, i_fixed = graph_search_fn(*args, int(entry), k, 40)
+    _, i_iter = graph_search_iterative_fn(*args, ents, k, 64, 1024, True)
+    r_fixed, r_iter = recall(i_fixed), recall(i_iter)
+    assert r_iter > 0.9, f"iterative rescan recall {r_iter}"
+    assert r_iter >= r_fixed, (r_iter, r_fixed)

@@ -119,6 +119,64 @@ def _device_knn_graph_ivf(vec: np.ndarray, k: int, seed: int = 0) -> np.ndarray:
     return out
 
 
+def _vamana_refine(
+    vec: np.ndarray,
+    nbr: np.ndarray,
+    entry: int,
+    m: int,
+    alpha: float,
+    knn: Optional[np.ndarray] = None,
+    ef: int = 48,
+    batch: int = 4096,
+    passes: int = 1,
+    seed: int = 0,
+) -> np.ndarray:
+    """Search-based Vamana refinement pass (DiskANN's second phase): for
+    every node, run the batched greedy beam search ON THE CURRENT GRAPH from
+    the medoid, and re-prune with the visited candidates. This is what makes
+    the flat graph NAVIGABLE: a raw kNN graph fragments into cluster islands
+    (measured: recall@10 = 0.0 from a medoid entry on clustered data at 30k
+    rows — the round-1 tpu builder bug), while search-based candidates give
+    every node edges along the search path toward the medoid, so greedy
+    descent can retrace them. The beam search itself is the device op the
+    index serves with (ops/graph_search.py), so construction exercises the
+    exact traversal it optimizes for."""
+    import jax.numpy as jnp
+
+    from .. import native
+
+    n, d = vec.shape
+    norms = np.einsum("nd,nd->n", vec, vec).astype(np.float32)
+    ones_bits = np.ones((n, 1), dtype=np.uint32)
+    k_cand = min(ef, 32)
+
+    for _ in range(passes):
+        dv = jnp.asarray(vec)
+        dn = jnp.asarray(norms)
+        db = jnp.asarray(ones_bits)
+        dg = jnp.asarray(np.ascontiguousarray(nbr))
+        masks = jnp.ones((batch, 1), dtype=jnp.uint32)
+        found = np.full((n, k_cand), -1, dtype=np.int32)
+        pending = []
+        for s in range(0, n, batch):
+            e = min(s + batch, n)
+            qb = np.zeros((batch, d), dtype=np.float32)
+            qb[: e - s] = vec[s:e]
+            _, ids = graph_search_fn(
+                jnp.asarray(qb), dv, dn, db, dg, masks, int(entry),
+                k_cand, ef,
+            )
+            pending.append((s, e, ids))
+        for s, e, ids in pending:
+            found[s:e] = np.asarray(ids)[: e - s]
+        parts = [found, nbr]
+        if knn is not None:
+            parts.append(knn)
+        cands = np.concatenate(parts, axis=1).astype(np.int32)
+        nbr = native.rng_prune(vec, cands, m=m, alpha=alpha)
+    return nbr
+
+
 def _device_knn_graph(vec: np.ndarray, k: int, block: int = 4096) -> np.ndarray:
     """Exact kNN graph via blockwise device matmuls (the MXU-native part of
     the tpu builder)."""
@@ -216,11 +274,22 @@ class HNSWIndex:
                 knn = _device_knn_graph_ivf(vec, k=knn_k, seed=seed)
             else:
                 knn = _device_knn_graph(vec, k=knn_k)
-            nbr = native.rng_prune(vec, knn[:, 1:], m=m, alpha=alpha)
-            entry = int(knn[np.random.default_rng(seed).integers(n), 0])
+            # Vamana-style construction: kNN candidates + random long-range
+            # candidates (navigability seeds), alpha-RNG prune, then a
+            # search-based refinement pass. The random edges and the
+            # refinement are NOT optional: a pruned kNN graph alone is not
+            # navigable from a single entry (cluster islands; see
+            # _vamana_refine docstring).
+            rng_ = np.random.default_rng(seed)
+            rand_edges = rng_.integers(0, n, size=(n, 16), dtype=np.int64)
+            cand0 = np.concatenate(
+                [knn[:, 1:], rand_edges.astype(np.int32)], axis=1)
+            nbr = native.rng_prune(vec, cand0, m=m, alpha=alpha)
             # entry: medoid-ish — node closest to the mean
             mean = vec.mean(axis=0, keepdims=True)
             entry = int(np.argmin(((vec - mean) ** 2).sum(axis=1)))
+            nbr = _vamana_refine(vec, nbr, entry, m=m, alpha=alpha,
+                                 knn=knn[:, 1:], seed=seed)
         else:
             raise ValueError(f"unknown builder {builder}")
         self.build_time_s = time.perf_counter() - t0
@@ -269,6 +338,10 @@ class HNSWIndex:
         entries: Optional[np.ndarray] = None,  # (Q,) per-query entry nodes
                                                # (LOCAL ids) — e.g. per-comb
                                                # admissible medoids
+        entry_local: Optional[int] = None,     # one entry node (LOCAL id) for
+                                               # every query in the call — the
+                                               # probe_params-groupable form
+                                               # of `entries`
         max_steps: Optional[int] = None,       # iterative expansion budget
         harvest_2hop: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
@@ -292,7 +365,9 @@ class HNSWIndex:
             qb[: e - s] = q[s:e]
             mb[: e - s] = mm[s:e]
             if iterative:
-                ent = np.full(bs, self.entry, dtype=np.int32)
+                default_entry = (self.entry if entry_local is None
+                                 else int(entry_local))
+                ent = np.full(bs, default_entry, dtype=np.int32)
                 if entries is not None:
                     ent[: e - s] = np.asarray(entries[s:e], dtype=np.int32)
                 ms = max_steps or 4 * ef

@@ -30,31 +30,23 @@ import jax.numpy as jnp
 BIG_I32 = jnp.int32(2**30)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "chunks", "q_tile")
-)
-def tiled_bucket_topk(
-    queries_q: jax.Array,    # (S * q_tile, d) int8 — queries grouped by slot
-    query_norms: jax.Array,  # (S * q_tile,) int32
-    masks8: jax.Array,       # (S * q_tile, R_pad) int8 user one-hots
-    chunk_ids: jax.Array,    # (S, chunks) int32 — packed chunk index per
-                             # slot step; 0 = the dummy all-masked chunk
+def tiled_scan_core(
+    q3: jax.Array,           # (S, q_tile, d) int8
+    m3: jax.Array,           # (S, q_tile, R_pad) int8
+    chunk_ids: jax.Array,    # (S, chunks) int32; 0 = dummy all-masked chunk
     vec_chunks: jax.Array,   # (LC, chunk_rows, d) int8
     norm_chunks: jax.Array,  # (LC, chunk_rows) int32
     role_chunks: jax.Array,  # (LC, chunk_rows, R_pad) int8; all-zero = pad
     row_chunks: jax.Array,   # (LC, chunk_rows) int32 arena rows, -1 = pad
-    inv_scale_sq: jax.Array,  # () float32
     k: int,
     chunks: int,
-    q_tile: int,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Return (dists (S*q_tile, k) float32 ascending, arena rows (S*q_tile,
-    k) int32; +inf/-1 pads). Each slot s scans chunks chunk_ids[s, :]."""
-    sq, d = queries_q.shape
-    s = sq // q_tile
+    """Shared scan body: per-slot chunked int8 scan returning packed int32
+    partial scores (S, q_tile, k) and arena rows. Also the local step of the
+    multi-chip partition-per-chip searcher (parallel/tiled_sharded.py), so
+    it must stay shard_map-compatible (no host callbacks, static shapes)."""
+    s, q_tile, d = q3.shape
     chunk_rows = vec_chunks.shape[1]
-    q3 = queries_q.reshape(s, q_tile, d)
-    m3 = masks8.reshape(s, q_tile, -1)
     kk = min(k, chunk_rows)
 
     def step(_, c):
@@ -85,11 +77,45 @@ def tiled_bucket_topk(
         rids = jnp.concatenate(
             [rids, jnp.full((s, q_tile, pad), -1, rids.dtype)], axis=2)
     neg, pos = jax.lax.top_k(-vals, k)
-    top = (-neg).reshape(sq, k)
-    idx = jnp.take_along_axis(rids, pos, axis=2).reshape(sq, k)
+    top = -neg                                          # (S, Q, k) int32
+    idx = jnp.take_along_axis(rids, pos, axis=2)        # (S, Q, k)
+    return top, idx
 
+
+def finish_scores(top: jax.Array, idx: jax.Array, query_norms: jax.Array,
+                  inv_scale_sq: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Packed int32 partial scores -> true squared-L2 float32 (+inf / -1 on
+    masked slots). query_norms broadcasts over the trailing k axis."""
     empty = top >= BIG_I32
-    dists = (top + query_norms[:, None]).astype(jnp.float32) * inv_scale_sq
+    dists = (top + query_norms[..., None]).astype(jnp.float32) * inv_scale_sq
     dists = jnp.where(empty, jnp.inf, jnp.maximum(dists, 0.0))
-    idx = jnp.where(empty, -1, idx)
+    return dists, jnp.where(empty, -1, idx)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunks", "q_tile"))
+def tiled_bucket_topk(
+    queries_q: jax.Array,    # (S * q_tile, d) int8 — queries grouped by slot
+    query_norms: jax.Array,  # (S * q_tile,) int32
+    masks8: jax.Array,       # (S * q_tile, R_pad) int8 user one-hots
+    chunk_ids: jax.Array,    # (S, chunks) int32; 0 = dummy all-masked chunk
+    vec_chunks: jax.Array,
+    norm_chunks: jax.Array,
+    role_chunks: jax.Array,
+    row_chunks: jax.Array,
+    inv_scale_sq: jax.Array,  # () float32
+    k: int,
+    chunks: int,
+    q_tile: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Return (dists (S*q_tile, k) float32 ascending, arena rows (S*q_tile,
+    k) int32; +inf/-1 pads). Each slot s scans chunks chunk_ids[s, :]."""
+    sq, d = queries_q.shape
+    s = sq // q_tile
+    top, idx = tiled_scan_core(
+        queries_q.reshape(s, q_tile, d), masks8.reshape(s, q_tile, -1),
+        chunk_ids, vec_chunks, norm_chunks, role_chunks, row_chunks,
+        k=k, chunks=chunks,
+    )
+    dists, idx = finish_scores(top.reshape(sq, k), idx.reshape(sq, k),
+                               query_norms, inv_scale_sq)
     return dists, idx

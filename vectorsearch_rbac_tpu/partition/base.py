@@ -151,17 +151,26 @@ class PartitionedSearcher:
         with self.timer.stage("device_scan"):
             for pid, qidx in pid_to_queries.items():
                 part = self.partitions[pid]
+                # probe_params may return None for a (user, partition) pair
+                # to mean "no per-probe kwargs" (e.g. hybrid strategies whose
+                # flat partitions take the plain deferred path below)
+                by_kw: Optional[Dict[Optional[tuple], List[int]]] = None
                 if probe_params is not None:
-                    by_kw: Dict[tuple, List[int]] = {}
+                    by_kw = {}
                     for qi in qidx:
                         kw = probe_params(int(user_ids[qi]), pid)
-                        by_kw.setdefault(tuple(sorted(kw.items())), []).append(qi)
+                        key = None if kw is None else tuple(sorted(kw.items()))
+                        by_kw.setdefault(key, []).append(qi)
+                    if set(by_kw) == {None}:
+                        by_kw = None  # whole partition probe-free
+                if by_kw is not None:
                     d = np.full((len(qidx), k), np.inf, dtype=np.float32)
                     i = np.full((len(qidx), k), -1, dtype=np.int64)
                     pos = {qi: j for j, qi in enumerate(qidx)}
                     for kw_items, qsub in by_kw.items():
                         dd, ii = part.index.search(
-                            queries[qsub], qmasks[qsub], k, **dict(kw_items)
+                            queries[qsub], qmasks[qsub], k,
+                            **(dict(kw_items) if kw_items else {})
                         )
                         for j, qi in enumerate(qsub):
                             d[pos[qi]], i[pos[qi]] = dd[j], ii[j]

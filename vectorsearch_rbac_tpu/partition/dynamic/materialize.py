@@ -154,29 +154,79 @@ def build_dynamic_searcher(
         searcher.plan = plan
         return searcher
 
+    # hybrid executor: serve a partition from its HNSW graph only when every
+    # comb routed to it keeps within-partition selectivity above threshold;
+    # mixed partitions (the alpha-budget remainder holding many roles' docs)
+    # serve from the fused flat scan instead — graph traversal under partial
+    # filters structurally under-delivers (results/anonysys_hnsw_1m.json:
+    # admissible docs are a uniform sample of a clustered space, beyond graph
+    # locality). This is the TPU answer to pgvector's iterative_scan blowup:
+    # the reference keeps scanning a graph for 100s of hops; the MXU scans
+    # the whole partition in one fused pass at higher QPS.
+    hybrid = cfg.index.kind == "hybrid"
+    graph_pids: Optional[set] = None
+    if hybrid:
+        import copy
+
+        sel_min = {pid: 1.0 for pid in partition_rows}
+        for comb, parts in plan.trackers.items():
+            cdocs: Set[int] = set()
+            for r in comb:
+                cdocs.update(world.role_to_docs.get(r, ()))
+            for pid in parts:
+                pdocs = plan.assignment.get(pid, set())
+                if pid in sel_min and pdocs:
+                    sel_min[pid] = min(sel_min[pid],
+                                       len(cdocs & pdocs) / len(pdocs))
+        thr = cfg.index.hybrid_sel_threshold
+        graph_pids = {pid for pid, s in sel_min.items() if s >= thr}
+        cfg_graph = copy.deepcopy(cfg)
+        cfg_graph.index.kind = "hnsw"
+        cfg_flat = copy.deepcopy(cfg)
+        cfg_flat.index.kind = "flat_approx"
+        logger.info(
+            "hybrid dynamic: %d/%d partitions serve graphs (min comb sel >= %.2f)",
+            len(graph_pids), len(partition_rows), thr,
+        )
+
+    def _pid_cfg(pid: int) -> FrameworkConfig:
+        if not hybrid:
+            return cfg
+        return cfg_graph if pid in graph_pids else cfg_flat
+
     partitions: Dict[int, BuiltPartition] = {
         pid: BuiltPartition(pid=pid, rows=rows,
-                            index=make_partition_index(arena, rows, cfg),
+                            index=make_partition_index(arena, rows, _pid_cfg(pid)),
                             label=f"dynamic_{pid}")
         for pid, rows in partition_rows.items()
     }
     searcher = PartitionedSearcher(arena, partitions, router, name="dynamic")
     searcher.plan = plan  # keep for maintenance ops (insert/delete roles)
 
-    if cfg.index.kind == "hnsw":
+    if cfg.index.kind in ("hnsw", "hybrid"):
         # per-(comb, partition) probe parameters: a dynamic partition holds
         # a whole combination's documents, so one user's within-partition
-        # selectivity is partial; a fixed-ef unfiltered graph search
-        # under-delivers where pgvector's iterative scan would keep going
-        # (reference pgvector/src/hnsw.c:90 hnsw.iterative_scan). The cost
-        # model's ef ~ 1/sel (models/cost.py ef_for_recall) scales each
-        # probe (pow2-bucketed to bound compiles), and low-selectivity
-        # probes switch to the ACORN-style 2-hop-harvest traversal
-        # (ops/graph_search.py graph_beam_search_filtered).
+        # selectivity is partial. The round-1 fixed-budget traversal
+        # plateaued at 0.51 recall at 1M (results/anonysys_hnsw_1m.json);
+        # the fix is the pgvector analog — ITERATIVE rescan (reference
+        # pgvector/src/hnsw.c:90 hnsw.iterative_scan, hnswscan.c: keep
+        # expanding until k rows survive the filter) — plus predicate-aware
+        # ENTRY POINTS: traversal starts at the admissible row nearest the
+        # (comb inter partition) centroid, inside the admissible region,
+        # instead of the global partition medoid. Expansion budget scales
+        # ~ k/sel (pow2-bucketed to bound compiles); very low selectivity
+        # additionally harvests the 2-hop ring (ACORN-gamma's density
+        # analog, reference acorn_benchmark/src/index_creation.cpp:105).
         base_ef = max(cfg.search.ef_search, 16)
+        topk = max(cfg.optimizer.topk, 10)
         param_cache: Dict[tuple, dict] = {}
 
-        def probe_params(uid: int, pid: int) -> dict:
+        def _pow2(x: float) -> int:
+            return 1 << int(np.ceil(np.log2(max(x, 1))))
+
+        def probe_params(uid: int, pid: int) -> Optional[dict]:
+            if graph_pids is not None and pid not in graph_pids:
+                return None  # hybrid flat partition: plain fused scan
             comb = tuple(user_to_roles.get(uid, ()))
             key = (comb, pid)
             kw = param_cache.get(key)
@@ -185,10 +235,29 @@ def build_dynamic_searcher(
                 cdocs = set()
                 for r in comb:
                     cdocs.update(world.role_to_docs.get(r, ()))
-                sel = len(cdocs & pdocs) / max(len(pdocs), 1)
-                raw = base_ef / max(sel, 0.05)
-                ef = min(1 << int(np.ceil(np.log2(max(raw, base_ef)))), 2048)
-                kw = {"ef_search": ef, "filtered_traversal": sel < 0.5}
+                adocs = cdocs & pdocs
+                sel = len(adocs) / max(len(pdocs), 1)
+                ef = min(_pow2(max(base_ef, 2 * topk)), 512)
+                max_steps = int(min(_pow2(4 * topk / max(sel, 0.01)), 4096))
+                kw = {
+                    "iterative": True,
+                    "ef_search": ef,
+                    "max_steps": max_steps,
+                    "harvest_2hop": sel < 0.15,
+                }
+                rows = partition_rows.get(pid)
+                if rows is not None and adocs:
+                    adm = np.isin(
+                        corpus.doc_ids[rows],
+                        np.fromiter(adocs, dtype=np.int64, count=len(adocs)),
+                    )
+                    local = np.nonzero(adm)[0]
+                    if len(local):
+                        sub = corpus.vectors[rows[local]]
+                        mean = sub.mean(axis=0, keepdims=True)
+                        kw["entry_local"] = int(
+                            local[np.argmin(((sub - mean) ** 2).sum(axis=1))]
+                        )
                 param_cache[key] = kw
             return kw
 

@@ -35,11 +35,17 @@ class IndexConfig:
     """Index-build knobs (replaces CREATE INDEX WITH(...) parameters,
     reference controller/initialize_main_tables.py:109-113)."""
 
-    kind: str = "flat"           # flat | ivf | hnsw
+    kind: str = "flat"           # flat | flat_approx | ivf | hnsw | hybrid
     hnsw_m: int = 16
     hnsw_ef_construction: int = 64
     ivf_nlist: int = 1024
     ivf_kmeans_iters: int = 10
+    # hybrid (dynamic partitions): a partition serves from an HNSW graph
+    # only when every comb routed to it keeps within-partition selectivity
+    # >= this threshold; mixed partitions fall back to the fused flat scan
+    # (graph traversal under partial filters structurally under-delivers —
+    # see results/anonysys_hnsw_1m.json and PERF.md index-selection table)
+    hybrid_sel_threshold: float = 0.5
 
 
 @dataclass
