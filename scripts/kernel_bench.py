@@ -38,11 +38,14 @@ quant = arena.quant
 print("arena built (int8 + bf16 mirror)")
 
 
+_slice8 = jax.jit(lambda x: x.reshape(-1)[:8])  # one cached executable
+
+
 def _force(out):
     # axon tunnel: block_until_ready under-reports; force a tiny fetch of
     # the first output leaf (device -> host sync on the real result)
     leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(jax.jit(lambda x: x.reshape(-1)[:8])(leaf))
+    np.asarray(_slice8(leaf))
 
 
 def timeit(fn, label, reps=4):

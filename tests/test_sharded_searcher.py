@@ -24,3 +24,111 @@ def test_sharded_global_searcher(small_world, small_corpus):
         assert len(want - got) <= 1  # near-tie tolerance
     rep = s.storage_report()
     assert rep["num_partitions"] == 4  # 8 devices / 2 replicas
+
+
+def test_place_partitions_balances_load():
+    from vectorsearch_rbac_tpu.parallel import place_partitions
+
+    loads = {0: 10.0, 1: 8.0, 2: 3.0, 3: 3.0, 4: 2.0, 5: 2.0}
+    pl = place_partitions(loads, n_devices=2)
+    dev_load = [0.0, 0.0]
+    for pid, devs in pl.items():
+        assert len(devs) == 1
+        dev_load[devs[0]] += loads[pid]
+    assert abs(dev_load[0] - dev_load[1]) <= 2.0  # LPT balance
+
+    pl = place_partitions(loads, n_devices=2, replicate=[0])
+    assert pl[0] == (0, 1)  # hot partition on every chip
+
+
+def test_sharded_tiled_parity(small_world, small_corpus):
+    """Partition-per-chip serving must match the single-chip tiled engine
+    (the reference has no multi-node story; parity against our own
+    single-chip searcher is the correctness oracle)."""
+    import numpy as np
+
+    from vectorsearch_rbac_tpu.core import build_device_arena
+    from vectorsearch_rbac_tpu.parallel import ShardedTiledSearcher, make_mesh
+    from vectorsearch_rbac_tpu.partition.tiled import TiledSearcher
+
+    arena = build_device_arena(small_corpus, small_world, block_rows=128,
+                               dtype="int8")
+    partition_rows = {}
+    for role, docs in sorted(small_world.role_to_docs.items()):
+        rows = small_corpus.rows_for_docs(
+            np.fromiter(docs, dtype=np.int64, count=len(docs)))
+        if len(rows):
+            partition_rows[role] = rows
+    u2r = small_world.user_to_roles
+
+    def router(uid):
+        return tuple(r for r in u2r.get(uid, ()) if r in partition_rows)
+
+    single = TiledSearcher(arena, partition_rows, router, name="role",
+                           chunk_rows=128, q_tile=8,
+                           num_roles=small_world.num_roles)
+    mesh = make_mesh(8, n_replicas=1)
+    multi = ShardedTiledSearcher(
+        arena, partition_rows, router, mesh, name="role_sharded",
+        chunk_rows=128, q_tile=8, num_roles=small_world.num_roles,
+        partition_weights={pid: len(r) for pid, r in partition_rows.items()},
+    )
+    # placement spreads over chips
+    used_devs = {d for devs in multi.placement.values() for d in devs}
+    assert len(used_devs) > 1
+
+    rng = np.random.default_rng(6)
+    nq = 24
+    q = rng.standard_normal((nq, small_corpus.dim)).astype(np.float32)
+    users = rng.integers(0, small_world.num_users, nq)
+    d1, i1 = single.search_batch(q, users, small_world.user_masks, k=8)
+    d2, i2 = multi.search_batch(q, users, small_world.user_masks, k=8)
+    # identical admissible sets + identical int8 arithmetic -> identical
+    # top-k distances; ids may swap only on exact ties
+    np.testing.assert_allclose(d1, d2, rtol=1e-5, atol=1e-5)
+    ties = (d1[:, :-1] == d1[:, 1:]).any(axis=1)
+    for qi in range(nq):
+        if not ties[qi]:
+            assert (i1[qi] == i2[qi]).all()
+
+
+def test_sharded_tiled_replication(small_world, small_corpus):
+    """Replicated hot partitions round-robin their query tiles and still
+    return correct results."""
+    import numpy as np
+
+    from vectorsearch_rbac_tpu.core import build_device_arena
+    from vectorsearch_rbac_tpu.parallel import ShardedTiledSearcher, make_mesh
+    from vectorsearch_rbac_tpu.partition.tiled import TiledSearcher
+
+    arena = build_device_arena(small_corpus, small_world, block_rows=128,
+                               dtype="int8")
+    partition_rows = {}
+    for role, docs in sorted(small_world.role_to_docs.items()):
+        rows = small_corpus.rows_for_docs(
+            np.fromiter(docs, dtype=np.int64, count=len(docs)))
+        if len(rows):
+            partition_rows[role] = rows
+    hot = max(partition_rows, key=lambda p: len(partition_rows[p]))
+    u2r = small_world.user_to_roles
+
+    def router(uid):
+        return tuple(r for r in u2r.get(uid, ()) if r in partition_rows)
+
+    single = TiledSearcher(arena, partition_rows, router, name="role",
+                           chunk_rows=128, q_tile=8,
+                           num_roles=small_world.num_roles)
+    mesh = make_mesh(4, n_replicas=1)
+    multi = ShardedTiledSearcher(
+        arena, partition_rows, router, mesh, name="role_rep",
+        chunk_rows=128, q_tile=8, num_roles=small_world.num_roles,
+        replicate=[hot],
+    )
+    assert multi.placement[hot] == tuple(range(4))
+    rng = np.random.default_rng(8)
+    nq = 16
+    q = rng.standard_normal((nq, small_corpus.dim)).astype(np.float32)
+    users = rng.integers(0, small_world.num_users, nq)
+    d1, _ = single.search_batch(q, users, small_world.user_masks, k=8)
+    d2, _ = multi.search_batch(q, users, small_world.user_masks, k=8)
+    np.testing.assert_allclose(d1, d2, rtol=1e-5, atol=1e-5)

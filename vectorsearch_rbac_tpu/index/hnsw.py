@@ -296,8 +296,12 @@ class HNSWIndex:
         self.entry = int(entry)
         m0 = nbr.shape[1]
 
-        # pad to a block bucket so few shapes compile
-        npad = _pad_to_bucket(max(n, 1), 1024)
+        # pad to a pow2 bucket so few shapes compile: partitions of one
+        # strategy land on ~log2 distinct (npad, M0) shapes instead of one
+        # per partition — each XLA compile through the axon tunnel costs
+        # minutes, so shape discipline dominates serving latency for
+        # many-partition strategies
+        npad = max(1024, 1 << (max(n, 1) - 1).bit_length())
         pad = npad - n
         gvec = np.concatenate([vec, np.zeros((pad, d), np.float32)])
         gnorm = np.concatenate([host_norm[rows], np.zeros(pad, np.float32)])
@@ -356,7 +360,12 @@ class HNSWIndex:
         kk = min(k + 8, ef)
         out_d = np.empty((nq, k), dtype=np.float32)
         out_i = np.empty((nq, k), dtype=np.int64)
-        bs = self.query_batch
+        # adaptive pow2 batch: probe groups are often much smaller than the
+        # configured batch (a (comb, partition) group holds ~nq/combs
+        # queries); padding them all to query_batch would waste most of
+        # every dispatch. Pow2 buckets keep the compile count logarithmic.
+        bs = min(self.query_batch,
+                 max(64, 1 << (max(nq, 1) - 1).bit_length()))
         pending = []
         for s in range(0, nq, bs):
             e = min(s + bs, nq)
