@@ -94,3 +94,32 @@ def test_per_query_dump(tmp_path, small_world, small_corpus):
     assert len(recs) == 6
     assert all(0 <= r["recall"] <= 1 for r in recs)
     assert all("result_rows" in r for r in recs)
+
+
+def test_per_role_workload(small_world, small_corpus):
+    """Role-targeted query workload: every target role contributes queries
+    issued by a user actually holding that role (reference
+    generate_query_dataset_for_roles, read_dataset_function.py:821)."""
+    from vectorsearch_rbac_tpu.bench import generate_query_workload_for_roles
+
+    wl = generate_query_workload_for_roles(
+        small_corpus, small_world, queries_per_role=3, topk=5, seed=1)
+    assert wl.num_queries == 3 * small_world.num_roles
+    # each chunk of 3 queries belongs to users holding the same role
+    role_ids = sorted(small_world.role_to_docs.keys())
+    for j, r in enumerate(role_ids):
+        for qi in range(3 * j, 3 * j + 3):
+            u = int(wl.user_ids[qi])
+            assert r in small_world.user_to_roles[u]
+
+
+def test_per_role_workload_repetitions(small_world, small_corpus):
+    from vectorsearch_rbac_tpu.bench import generate_query_workload_for_roles
+
+    wl = generate_query_workload_for_roles(
+        small_corpus, small_world, queries_per_role=2, topk=5,
+        repetitions=3, seed=2)
+    assert wl.num_queries == 2 * small_world.num_roles * 3
+    assert wl.repetitions.max() == 2
+    # repeated queries share vectors
+    assert np.allclose(wl.vectors[0], wl.vectors[1])

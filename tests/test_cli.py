@@ -44,7 +44,7 @@ def test_cli_fit_params(tmp_path):
     main(base + ["fit-params", "--index", "ivf", "--efs", "2", "4", "8", "16",
                  "--topk", "5", "--num-queries", "24", "--nlist", "32",
                  "--block-rows", "512"])
-    with open(os.path.join(art, "parameter_model.json")) as f:
+    with open(os.path.join(art, "parameter_ivf.json")) as f:
         params = json.load(f)
     assert set(params) >= {"k", "beta", "a", "b"}
     assert os.path.exists(os.path.join(art, "model_validation.json"))

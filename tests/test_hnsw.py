@@ -158,3 +158,61 @@ def test_iterative_rescan_low_selectivity():
     r_fixed, r_iter = recall(i_fixed), recall(i_iter)
     assert r_iter > 0.9, f"iterative rescan recall {r_iter}"
     assert r_iter >= r_fixed, (r_iter, r_fixed)
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_online_insert_rows(small_world, small_corpus):
+    """pgvector hnswinsert analog: rows inserted into a live graph become
+    searchable at the same recall as built-in rows."""
+    arena = build_device_arena(small_corpus, small_world, block_rows=128)
+    half = small_corpus.n // 2
+    idx = HNSWIndex(arena, rows=np.arange(half, dtype=np.int64), m=8,
+                    ef_search=64, query_batch=16, builder="classic", seed=0)
+    new_rows = np.arange(half, small_corpus.n, dtype=np.int64)
+    idx.insert_rows(arena, new_rows)
+    assert idx.n_rows == small_corpus.n
+
+    rng = np.random.default_rng(5)
+    nq = 12
+    pick = rng.integers(half, small_corpus.n, nq)  # query near INSERTED rows
+    q = small_corpus.vectors[pick] + 0.01 * rng.standard_normal(
+        (nq, small_corpus.dim)).astype(np.float32)
+    allmask = np.full((nq, small_world.words), 0xFFFFFFFF, dtype=np.uint32)
+    d, ids = idx.search(q, allmask, k=5, ef_search=96)
+    vec = small_corpus.vectors
+    d2 = np.einsum("nd,nd->n", vec, vec)[None, :] - 2 * q @ vec.T
+    truth = np.argsort(d2, axis=1, kind="stable")[:, :5]
+    hits = sum(
+        len(set(int(x) for x in ids[i] if x >= 0) & set(truth[i].tolist()))
+        for i in range(nq))
+    recall = hits / (nq * 5)
+    assert recall > 0.8, f"post-insert recall {recall}"
+    # inserted rows must be reachable: the nearest row to an inserted
+    # vector is itself
+    assert any(int(x) >= half for row in ids for x in row)
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_sampled_entry_search(small_world, small_corpus):
+    """Sampled per-query entries (the hierarchy-descent replacement) must
+    not lose recall vs the medoid entry."""
+    arena = build_device_arena(small_corpus, small_world, block_rows=128)
+    idx = HNSWIndex(arena, rows=None, m=8, ef_search=48, query_batch=16,
+                    builder="classic", seed=0)
+    rng = np.random.default_rng(7)
+    nq = 12
+    q = (small_corpus.vectors[rng.integers(0, small_corpus.n, nq)]
+         + 0.01 * rng.standard_normal((nq, small_corpus.dim)).astype(np.float32))
+    allmask = np.full((nq, small_world.words), 0xFFFFFFFF, dtype=np.uint32)
+    d1, i1 = idx.search(q, allmask, k=5, ef_search=48)
+    d2, i2 = idx.search(q, allmask, k=5, ef_search=48, sampled_entry=True)
+    vec = small_corpus.vectors
+    dd = np.einsum("nd,nd->n", vec, vec)[None, :] - 2 * q @ vec.T
+    truth = np.argsort(dd, axis=1, kind="stable")[:, :5]
+
+    def rec(ids):
+        return sum(len(set(int(x) for x in ids[i] if x >= 0)
+                       & set(truth[i].tolist())) for i in range(nq)) / (nq * 5)
+
+    assert rec(i2) >= rec(i1) - 0.05, (rec(i2), rec(i1))
+    assert rec(i2) > 0.8

@@ -69,3 +69,40 @@ def test_qdtree_centroid_pruning_reduces_leaves(qd_setup):
                                      tree=searcher.tree, prune_by_centroid=True)
     pruned = searcher_pruned.vector_router(uid, q)
     assert set(pruned) <= set(full)
+
+
+def test_qdtree_debug_tooling(small_world, small_corpus):
+    """dot export / structure dump / per-query trace / role listing
+    (reference controller/baseline/HQI/debug/ analogs)."""
+    import numpy as np
+
+    from vectorsearch_rbac_tpu.partition.qdtree import build_qd_tree
+    from vectorsearch_rbac_tpu.partition.qdtree_debug import (
+        dump_structure, export_dot, list_role_partitions, trace_query)
+
+    docsets = [small_world.comb_docs(c) for c in small_world.combs[:16]]
+    tree = build_qd_tree(small_corpus, small_world, docsets,
+                         min_leaf=16, max_depth=5, seed=0)
+
+    dot = export_dot(tree)
+    assert dot.startswith("digraph qdtree {") and dot.endswith("}")
+    assert dot.count("leaf") >= len(tree.leaf_docs)
+
+    txt = dump_structure(tree)
+    assert txt.count("leaf") == len(tree.leaf_docs)
+
+    q = np.zeros(small_corpus.dim, dtype=np.float32)
+    tr = trace_query(tree, small_world, user_id=0, qvec=q)
+    assert tr["visited_leaves"], "user 0 must reach at least one leaf"
+    # every visited leaf holds at least one accessible doc
+    acc = set(small_world.user_docs(0))
+    for lid in tr["visited_leaves"]:
+        assert tree.leaf_docs[lid] & acc
+
+    rp = list_role_partitions(tree, small_world)
+    assert set(rp) == set(small_world.role_to_docs)
+    for r, leaves in rp.items():
+        union = set()
+        for lid in leaves:
+            union |= tree.leaf_docs[lid]
+        assert set(small_world.role_to_docs[r]) <= union

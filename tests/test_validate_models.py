@@ -42,3 +42,70 @@ def test_sweep_fit_validate_on_hnsw(small_world, small_corpus):
     report = validate_models(sweep, params, topk=5, sel=sel, n_vectors=corpus.n)
     assert report["recall_mae"] < 0.25
     assert "params" in report and report["params"]["a"] != 0
+
+
+def test_ef_offset_improves_saturated_fit():
+    """A measured curve that saturates far earlier than the 2-parameter
+    family allows must fit better with the ef_offset extension, and
+    ef_for_recall must stay consistent with the forward model."""
+    import numpy as np
+
+    from vectorsearch_rbac_tpu.models.cost import (
+        CostModelParams, RecallModel, ef_for_recall)
+    from vectorsearch_rbac_tpu.models.fitting import (
+        _piecewise, fit_recall_params)
+
+    topk, sel = 10, 0.5
+    efs = np.asarray([8, 16, 24, 32, 48, 64, 96, 128], dtype=float)
+    truth = _piecewise(efs, 0.98, 0.9, topk, sel, ef0=-30.0)
+
+    k2, b2 = fit_recall_params(efs, truth, topk, sel)
+    k3, b3, ef0 = fit_recall_params(efs, truth, topk, sel, fit_offset=True)
+    e2 = np.mean((_piecewise(efs, k2, b2, topk, sel) - truth) ** 2)
+    e3 = np.mean((_piecewise(efs, k3, b3, topk, sel, ef0) - truth) ** 2)
+    assert e3 <= e2 + 1e-12
+    assert e3 < 1e-4, f"offset fit residual too high: {e3}"
+
+    p = CostModelParams(k=k3, beta=b3, ef_offset=ef0)
+    rm = RecallModel(p)
+    ef_needed = ef_for_recall(0.9, topk, sel, p)
+    assert rm.recall(ef_needed, topk, sel) == pytest.approx(0.9, abs=0.02)
+
+
+def test_fit_join_time():
+    import numpy as np
+
+    from vectorsearch_rbac_tpu.models.fitting import fit_join_time
+
+    rng = np.random.default_rng(0)
+    m = np.asarray([1, 2, 4, 8])
+    t = 3.0 + 0.25 * m + rng.normal(0, 0.01, 4)
+    j = fit_join_time(m, t)
+    assert j == pytest.approx(0.25, abs=0.05)
+
+
+def test_multi_parameter_validation_small(small_corpus):
+    """Grid validation runs end-to-end and the fitted model tracks the
+    measured recall within tolerance on the small lab."""
+    import numpy as np
+
+    import vectorsearch_rbac_tpu.native as native
+    if not native.available():
+        pytest.skip("native lib unavailable")
+
+    from vectorsearch_rbac_tpu.models.validate import (
+        multi_parameter_validation, selectivity_lab_world)
+
+    sels = [0.2, 0.6]
+    world = selectivity_lab_world(small_corpus.num_docs, sels, seed=1)
+    rng = np.random.default_rng(2)
+    queries = small_corpus.vectors[
+        rng.integers(0, small_corpus.n, 24)] + 0.01 * rng.standard_normal(
+        (24, small_corpus.dim)).astype(np.float32)
+    out = multi_parameter_validation(
+        small_corpus, world, sels, sizes=[256, 512], efs=[8, 16, 32, 64],
+        topk=5, queries=queries.astype(np.float32), timing_reps=1,
+    )
+    assert len(out["cells"]) == 4
+    assert out["recall_mae"] < 0.15, out["recall_mae"]
+    assert np.isfinite(out["time_mape"])

@@ -123,3 +123,69 @@ def generate_query_workload(
         selectivities=sels,
         repetitions=reps,
     )
+
+
+def generate_query_workload_for_roles(
+    corpus: Corpus,
+    world: RBACWorld,
+    roles: Optional[np.ndarray] = None,   # role ids to target; default all
+    queries_per_role: int = 10,
+    topk: int = 10,
+    repetitions: int = 1,
+    query_pool: Optional[np.ndarray] = None,
+    seed: int = 0,
+) -> QueryWorkload:
+    """Role-targeted workload (reference read_dataset_function.py:821
+    generate_query_dataset_for_roles, :961 ..._with_roles_and_repetitions):
+    for each target role, `queries_per_role` queries are issued by users
+    HOLDING that role — measuring per-role serving behavior instead of the
+    user-uniform mix. With repetitions > 1 this is the role-targeted cache
+    workload."""
+    rng = np.random.default_rng(seed)
+    role_ids = (np.asarray(sorted(world.role_to_docs.keys()))
+                if roles is None else np.asarray(roles))
+
+    # role -> users holding it
+    role_users: Dict[int, list] = {int(r): [] for r in role_ids}
+    for u, comb in world.user_to_roles.items():
+        for r in comb:
+            if r in role_users:
+                role_users[r].append(u)
+
+    users_out, vec_idx = [], []
+    for r in role_ids:
+        cand = role_users[int(r)]
+        if not cand:
+            continue
+        picked = rng.choice(cand, size=queries_per_role, replace=True)
+        users_out.extend(int(u) for u in picked)
+        vec_idx.extend(range(queries_per_role))
+    n = len(users_out)
+    if query_pool is not None:
+        pool = np.asarray(query_pool, dtype=np.float32)
+        qvecs = pool[rng.choice(len(pool), size=n, replace=n > len(pool))]
+    else:
+        qvecs = corpus.vectors[rng.choice(corpus.n, size=n, replace=True)]
+    users = np.asarray(users_out, dtype=np.int64)
+
+    sel_cache: Dict[int, float] = {}
+    sels = np.empty(n)
+    for i, u in enumerate(users.tolist()):
+        if u not in sel_cache:
+            sel_cache[u] = user_block_selectivity(corpus, world, u)
+        sels[i] = sel_cache[u]
+
+    if repetitions > 1:
+        qvecs = np.repeat(qvecs, repetitions, axis=0)
+        users = np.repeat(users, repetitions)
+        sels = np.repeat(sels, repetitions)
+        reps = np.tile(np.arange(repetitions, dtype=np.int32), n)
+    else:
+        reps = np.zeros(n, dtype=np.int32)
+    return QueryWorkload(
+        vectors=np.ascontiguousarray(qvecs, dtype=np.float32),
+        user_ids=users,
+        topk=topk,
+        selectivities=sels,
+        repetitions=reps,
+    )

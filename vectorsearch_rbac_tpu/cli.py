@@ -100,11 +100,20 @@ def cmd_generate_queries(args) -> None:
 
     state = _load_state(args)
     corpus = _corpus_from_state(state)
-    wl = generate_query_workload(
-        corpus, state["world"], num_queries=args.num_queries, topk=args.topk,
-        zipf_param=args.zipf, repetitions=args.repetitions,
-        query_pool=state.get("query_pool"), seed=args.seed + 1,
-    )
+    if args.per_role > 0:
+        from .bench import generate_query_workload_for_roles
+
+        wl = generate_query_workload_for_roles(
+            corpus, state["world"], queries_per_role=args.per_role,
+            topk=args.topk, repetitions=args.repetitions,
+            query_pool=state.get("query_pool"), seed=args.seed + 1,
+        )
+    else:
+        wl = generate_query_workload(
+            corpus, state["world"], num_queries=args.num_queries, topk=args.topk,
+            zipf_param=args.zipf, repetitions=args.repetitions,
+            query_pool=state.get("query_pool"), seed=args.seed + 1,
+        )
     wl.save_json(_art(args, "query_dataset.json"))
     for f in os.listdir(args.artifacts):
         if f.startswith("gt_"):
@@ -127,11 +136,14 @@ def cmd_plan_dynamic(args) -> None:
     corpus = _corpus_from_state(state)
 
     params = CostModelParams()
-    pfile = _art(args, "parameter_model.json")
-    if os.path.exists(pfile):
-        with open(pfile) as f:
-            params = CostModelParams.from_dict(json.load(f))
-        logger.info("loaded fitted params from %s", pfile)
+    for name in ("parameter_hnsw.json", "parameter_ivf.json",
+                 "parameter_model.json"):
+        pfile = _art(args, name)
+        if os.path.exists(pfile):
+            with open(pfile) as f:
+                params = CostModelParams.from_dict(json.load(f))
+            logger.info("loaded fitted params from %s", pfile)
+            break
 
     qfile = _art(args, "query_dataset.json")
     if os.path.exists(qfile):
@@ -169,7 +181,7 @@ def cmd_fit_params(args) -> None:
     from .core import build_device_arena
     from .index.hnsw import HNSWIndex
     from .index.ivf import IVFIndex
-    from .models.validate import fit_from_sweep, sweep_search_width, validate_models
+    from .models.validate import sweep_search_width, validate_models
     from .utils.persist import save_params
 
     state = _load_state(args)
@@ -189,26 +201,76 @@ def cmd_fit_params(args) -> None:
     truth = oracle.compute(corpus, world, wl, args.topk)
     masks = world.user_masks[wl.user_ids]
 
-    if args.index == "hnsw":
-        idx = HNSWIndex(arena, m=16, ef_construction=64, query_batch=1024)
-        search_fn = lambda q, m, k, ef: idx.search(q, m, k, ef_search=ef)
-    else:
-        idx = IVFIndex(arena, nlist=args.nlist, query_batch=1024,
+    def make_index(rows=None):
+        if args.index == "hnsw":
+            idx = HNSWIndex(arena, rows=rows, m=16, ef_construction=64,
+                            query_batch=1024, seed=state["seed"])
+            return idx, lambda q, m, k, ef: idx.search(q, m, k, ef_search=ef)
+        idx = IVFIndex(arena, rows=rows, nlist=args.nlist, query_batch=1024,
                        seed=state["seed"])
-        search_fn = lambda q, m, k, ef: idx.search(q, m, k, nprobe=ef)
+        return idx, lambda q, m, k, ef: idx.search(q, m, k, nprobe=ef)
 
+    # (k, beta, ef_offset): sweep the global index at the workload's average
+    # selectivity (reference get_parameter.py:135-185 fits on the RLS index)
+    _, search_fn = make_index()
     sweep = sweep_search_width(search_fn, wl.vectors, masks, truth,
                                args.topk, args.efs)
     sel = float(np.mean(wl.selectivities))
-    params = fit_from_sweep(sweep, topk=args.topk, sel=sel, n_vectors=corpus.n)
+
+    # (a, b): the log(n) factor must be FIT, not assumed — sweep subset
+    # indexes at several sizes and fit jointly (the round-1 single-n fit
+    # left log(n) unvalidated; reference analysis_hnsw_qps.py:260-334)
+    from .models.fitting import (
+        fit_join_time, fit_qps_params, fit_recall_params,
+    )
+
+    rng = np.random.default_rng(state["seed"] + 7)
+    sizes = sorted({max(2048, corpus.n // f) for f in (8, 4, 2, 1)})
+    qn, qe, qt = [], [], []
+    small_search = None
+    for size in sizes:
+        rows = (None if size >= corpus.n
+                else np.sort(rng.choice(corpus.n, size, replace=False)))
+        _, sfn = make_index(rows)
+        if small_search is None:
+            small_search = sfn
+        ssweep = sweep_search_width(sfn, wl.vectors, masks, truth,
+                                    args.topk, args.efs, timing_reps=1)
+        qn += [size] * len(args.efs)
+        qe += list(ssweep["efs"])
+        qt += ssweep["times_s"]
+
+    # join_time: per-partition probe overhead — time m sequential probes of
+    # the smallest index at fixed ef, fit the slope (the TPU analog of the
+    # reference's SubPlan-2 join-time regression, analysis_hnsw_qps.py:371)
+    ef_j = args.efs[len(args.efs) // 2]
+    jm, jt = [], []
+    for m_probes in (1, 2, 4):
+        t0 = time.perf_counter()
+        for _ in range(m_probes):
+            small_search(wl.vectors, masks, args.topk, ef_j)
+        jm.append(m_probes)
+        jt.append((time.perf_counter() - t0) / len(wl.vectors))
+    join_time = fit_join_time(jm, jt)
+
+    rp = fit_recall_params(sweep["efs"], sweep["recalls"], args.topk, sel,
+                           fit_offset=True)
+    a, b = fit_qps_params(qn, qe, qt)
+    from .models.cost import CostModelParams
+
+    params = CostModelParams(k=rp[0], beta=rp[1], a=a, b=b,
+                             join_time=join_time,
+                             ef_offset=rp[2] if len(rp) > 2 else 0.0)
     report = validate_models(sweep, params, topk=args.topk, sel=sel,
                              n_vectors=corpus.n)
-    save_params(params, _art(args, "parameter_model.json"))
+    save_params(params, _art(args, f"parameter_{args.index}.json"))
     with open(_art(args, "model_validation.json"), "w") as f:
         json.dump(report, f, indent=2)
-    logger.info("fitted k=%.3f beta=%.4f a=%.4g b=%.4g (recall MAE %.3f)",
-                params.k, params.beta, params.a, params.b,
-                report["recall_mae"])
+    logger.info(
+        "fitted k=%.3f beta=%.4f ef0=%.1f a=%.4g b=%.4g join=%.2e "
+        "(recall MAE %.3f, %d sizes)",
+        params.k, params.beta, params.ef_offset, params.a, params.b,
+        params.join_time, report["recall_mae"], len(sizes))
 
 
 def cmd_test(args) -> None:
@@ -230,6 +292,21 @@ def cmd_test(args) -> None:
     cfg.index.kind = args.index
     cfg.search.nprobe = args.nprobe
     cfg.optimizer.storage_alpha = args.storage
+
+    # the planner consumes fitted params when a fit-params run has cached
+    # them (the reference's parameter_hnsw.json reuse,
+    # AnonySys_dynamic_partition.py:795-832)
+    pjson = _art(args, f"parameter_{args.index}.json")
+    if os.path.exists(pjson):
+        from .utils.persist import load_params
+
+        p = load_params(pjson)
+        cfg.optimizer.recall_k = p.k
+        cfg.optimizer.recall_beta = p.beta
+        cfg.optimizer.qps_a = p.a
+        cfg.optimizer.qps_b = p.b
+        cfg.optimizer.join_time = p.join_time
+        logger.info("loaded fitted cost-model params from %s", pjson)
 
     arena = build_device_arena(corpus, world, block_rows=cfg.search.block_rows,
                                dtype=args.dtype)
@@ -264,6 +341,22 @@ def cmd_test(args) -> None:
         t0 = time.perf_counter()
         searcher = build_searcher(strategy, corpus, world, arena, cfg, **kwargs)
         build_s = time.perf_counter() - t0
+        if args.cache:
+            # cache-workload mode (reference generate_query_dataset_for_cache
+            # + 3-repetition runs, read_dataset_function.py:611): wrap the
+            # searcher in the comb-keyed LRU; warm-up is skipped so the
+            # measured pass sees genuine cold misses + repetition hits
+            from .bench.result_cache import CachedSearcher
+
+            searcher = CachedSearcher(searcher, world,
+                                      capacity=args.cache_capacity)
+            res = run_benchmark(searcher, corpus, world, wl, oracle,
+                                k=args.topk, build_time_s=build_s,
+                                warmup_runs=0)
+            d = json.loads(res.to_json())
+            d["cache"] = searcher.stats()
+            results.append(d)
+            continue
         res = run_benchmark(searcher, corpus, world, wl, oracle,
                             k=args.topk, build_time_s=build_s)
         results.append(json.loads(res.to_json()))
@@ -297,6 +390,9 @@ def main(argv=None) -> None:
     sq.add_argument("--topk", type=int, default=10)
     sq.add_argument("--zipf", type=float, default=0)
     sq.add_argument("--repetitions", type=int, default=1)
+    sq.add_argument("--per-role", type=int, default=0, metavar="Q",
+                    help="role-targeted workload: Q queries per role "
+                         "(reference generate_query_dataset_for_roles)")
     sq.add_argument("--seed", type=int, default=0)
     sq.set_defaults(fn=cmd_generate_queries)
 
@@ -329,6 +425,10 @@ def main(argv=None) -> None:
     st.add_argument("--block-rows", type=int, default=65536)
     st.add_argument("--nprobe", type=int, default=16)
     st.add_argument("--storage", type=float, default=1.5)
+    st.add_argument("--cache", action="store_true",
+                    help="cache-workload mode: comb-keyed LRU result cache, "
+                         "no warm-up, hit-rate reporting")
+    st.add_argument("--cache-capacity", type=int, default=10000)
     st.set_defaults(fn=cmd_test)
 
     args = p.parse_args(argv)

@@ -32,7 +32,7 @@ class Int8FlatIndex:
         query_batch: int = 4096,
         q_tile: int = 512,
         block_rows: int = 4096,
-        group: int = 64,
+        group: int = 128,
         rerank: Optional[bool] = None,  # None = auto (rerank iff lossy)
         rerank_margin: int = 32,
     ):

@@ -323,6 +323,156 @@ class HNSWIndex:
             builder, n, m0, avg_deg, self.build_time_s,
         )
 
+    def insert_rows(self, arena: DeviceArena, rows: np.ndarray,
+                    ef_construction: Optional[int] = None) -> None:
+        """Online insert of arena rows into the live graph — the pgvector
+        HNSW insert path analog (reference pgvector/src/hnswinsert.c:
+        greedy-search for neighbors, RNG-prune, add bidirectional edges,
+        prune overflowing neighbor lists). Batched: candidates for ALL new
+        rows come from one device beam-search pass over the current graph;
+        edge updates are host-side numpy. The pow2 padding bucket absorbs
+        growth until the next boundary; crossing it re-uploads the device
+        arrays once."""
+        import jax
+        import jax.numpy as jnp
+
+        rows = np.asarray(rows, dtype=np.int64)
+        if len(rows) == 0:
+            return
+        efc = ef_construction or max(self.m * 2, 48)
+        if arena.host_vectors is not None:
+            hv, hn, hb = arena.host_vectors, arena.host_norms, arena.host_bits
+        else:
+            hv = np.asarray(arena.vectors, dtype=np.float32)
+            hn = np.asarray(arena.norms)
+            hb = np.asarray(arena.role_bits)
+        new_vec = np.ascontiguousarray(hv[rows], dtype=np.float32)
+
+        graph = np.array(self._graph)              # mutable host copies
+        vec_all = np.array(self._vectors, dtype=np.float32)
+        m0 = graph.shape[1]
+        n_old, n_new = self.n_rows, len(rows)
+
+        # 1) candidates: batched unfiltered beam search on the current graph
+        cand = np.full((n_new, min(efc, 32)), -1, dtype=np.int32)
+        bs = 1024
+        masks = jnp.ones((bs, 1), dtype=jnp.uint32)
+        ones_bits = jnp.ones((vec_all.shape[0], 1), dtype=jnp.uint32)
+        pending = []
+        for s in range(0, n_new, bs):
+            e = min(s + bs, n_new)
+            qb = np.zeros((bs, new_vec.shape[1]), dtype=np.float32)
+            qb[: e - s] = new_vec[s:e]
+            _, ids = graph_search_fn(
+                jnp.asarray(qb), self._vectors, self._norms, ones_bits,
+                self._graph, masks, self.entry, cand.shape[1], efc,
+            )
+            pending.append((s, e, ids))
+        for s, e, ids in pending:
+            cand[s:e] = np.asarray(ids)[: e - s]
+
+        # 2) grow host-side arrays (pow2 bucket)
+        n_total = n_old + n_new
+        npad_new = max(1024, 1 << (n_total - 1).bit_length())
+        npad_old = graph.shape[0]
+        d = vec_all.shape[1]
+        norms_all = np.array(self._norms)
+        bits_all = np.array(self._bits)
+        rmap_all = np.array(self._row_map)
+        if npad_new != npad_old:
+            def _grow(a, fill):
+                out = np.full((npad_new,) + a.shape[1:], fill, dtype=a.dtype)
+                out[: a.shape[0]] = a
+                return out
+            vec_all = _grow(vec_all, 0)
+            norms_all = _grow(norms_all, 0)
+            bits_all = _grow(bits_all, 0)
+            graph = _grow(graph, -1)
+            rmap_all = _grow(rmap_all, -1)
+        vec_all[n_old:n_total] = new_vec
+        norms_all[n_old:n_total] = hn[rows]
+        bits_all[n_old:n_total] = hb[rows]
+        rmap_all[n_old:n_total] = rows.astype(np.int32)
+
+        # 3) alpha-prune each new node's candidate list (hnswinsert.c
+        # HnswFindElementNeighbors + RNG heuristic), then reverse edges
+        # with overflow re-prune
+        alpha = 1.2
+        for j in range(n_new):
+            nid = n_old + j
+            cids = [c for c in cand[j].tolist() if c >= 0]
+            if not cids:
+                graph[nid, :] = -1
+                continue
+            dists = ((vec_all[cids] - new_vec[j]) ** 2).sum(axis=1)
+            order = np.argsort(dists, kind="stable")
+            kept: list = []
+            for oi in order:
+                if len(kept) >= self.m:
+                    break
+                c = cids[oi]
+                dc = dists[oi]
+                dominated = any(
+                    ((vec_all[c] - vec_all[t]) ** 2).sum() * alpha < dc
+                    for t in kept
+                )
+                if not dominated:
+                    kept.append(c)
+            graph[nid, : len(kept)] = kept
+            graph[nid, len(kept):] = -1
+            # reverse edges: append nid; if full, drop the farthest edge
+            for c in kept:
+                slots = np.nonzero(graph[c] < 0)[0]
+                if len(slots):
+                    graph[c, slots[0]] = nid
+                else:
+                    nbrs = graph[c]
+                    dn = ((vec_all[nbrs] - vec_all[c]) ** 2).sum(axis=1)
+                    worst = int(np.argmax(dn))
+                    if (((vec_all[nid] - vec_all[c]) ** 2).sum() < dn[worst]):
+                        graph[c, worst] = nid
+
+        # 4) re-upload device arrays
+        compute_dtype = self._vectors.dtype
+        self._vectors = jax.device_put(vec_all.astype(compute_dtype))
+        self._norms = jax.device_put(norms_all)
+        self._bits = jax.device_put(bits_all)
+        self._graph = jax.device_put(np.ascontiguousarray(graph))
+        self._row_map = jax.device_put(rmap_all)
+        self.n_rows = n_total
+        logger.info("inserted %d rows (now %d, npad %d)",
+                    n_new, n_total, graph.shape[0])
+
+    def _sampled_entries(self, q: np.ndarray, sample: int = 1024,
+                         seed: int = 0) -> np.ndarray:
+        """Per-query entry = nearest node among a fixed random sample, from
+        ONE batched matmul. Entry quality matches a 2-3 level HNSW descent
+        (the sample plays the role of the upper layers' ~N/1000 nodes)
+        without any sequential hops."""
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        if not hasattr(self, "_entry_sample"):
+            rng = np.random.default_rng(seed)
+            n = self.n_rows
+            ids = (np.arange(n, dtype=np.int32) if n <= sample
+                   else rng.choice(n, sample, replace=False).astype(np.int32))
+            self._entry_sample = jax.device_put(jnp.asarray(np.sort(ids)))
+
+        @functools.partial(jax.jit)
+        def _nearest(qb, vec, norms, ids):
+            x = jnp.take(vec, ids, axis=0).astype(jnp.float32)   # (S, d)
+            nrm = jnp.take(norms, ids, axis=0)
+            dots = jnp.dot(qb, x.T, preferred_element_type=jnp.float32)
+            s = nrm[None, :] - 2.0 * dots
+            return jnp.take(ids, jnp.argmin(s, axis=1))
+
+        out = _nearest(jnp.asarray(q), self._vectors, self._norms,
+                       self._entry_sample)
+        return np.asarray(out)
+
     def graph_state(self) -> dict:
         """Persistable graph (pair with utils.persist.save_npz)."""
         return {
@@ -348,6 +498,14 @@ class HNSWIndex:
                                                # of `entries`
         max_steps: Optional[int] = None,       # iterative expansion budget
         harvest_2hop: bool = False,
+        sampled_entry: bool = False,  # per-query entry from one matmul over
+                                      # a fixed random row sample — the
+                                      # TPU-native replacement for HNSW's
+                                      # upper-layer descent (hierarchy A/B,
+                                      # PERF.md): descent saves sequential
+                                      # hops; a batched sample scan buys the
+                                      # same entry quality in ONE MXU pass.
+                                      # Implies the iterative engine.
     ) -> Tuple[np.ndarray, np.ndarray]:
         import jax.numpy as jnp
 
@@ -355,6 +513,10 @@ class HNSWIndex:
         q = np.asarray(queries, dtype=np.float32)
         mm = np.asarray(query_masks, dtype=np.uint32)
         nq = q.shape[0]
+        if sampled_entry:
+            iterative = True
+            if entries is None:
+                entries = self._sampled_entries(q)
         # small dedupe margin: the device result list may rarely contain
         # duplicates (see ops/graph_search.py) — fetch extra, dedupe on host
         kk = min(k + 8, ef)

@@ -32,23 +32,32 @@ import numpy as np
 class CostModelParams:
     """Fitted constants. Defaults are the reference's committed fit for
     pgvector HNSW (reference helper.py:160,224) — callers should refit for
-    the TPU indexes via models.fitting."""
+    the TPU indexes via models.fitting.
+
+    ef_offset extends the reference's 2-parameter recall family: the model
+    evaluates at ef_eff = ef - ef_offset. Near-saturated filtered indexes
+    reach high recall at small ef, which the pure (k, beta) family can only
+    express by inflating beta (the loose-fit caveat PARITY.md admits); a
+    negative offset shifts the whole curve left instead. ef_offset = 0
+    recovers the reference model exactly."""
 
     k: float = 1.0
     beta: float = 0.44240961
     a: float = 550.97
     b: float = 183157.0
     join_time: float = 0.0
+    ef_offset: float = 0.0
 
     def to_dict(self) -> Dict[str, float]:
         return {"k": self.k, "beta": self.beta, "a": self.a, "b": self.b,
-                "join_times": self.join_time}
+                "join_times": self.join_time, "ef_offset": self.ef_offset}
 
     @classmethod
     def from_dict(cls, d: Mapping[str, float]) -> "CostModelParams":
         return cls(k=d.get("k", 1.0), beta=d.get("beta", 0.4424),
                    a=d.get("a", 550.97), b=d.get("b", 183157.0),
-                   join_time=d.get("join_times", d.get("join_time", 0.0)))
+                   join_time=d.get("join_times", d.get("join_time", 0.0)),
+                   ef_offset=d.get("ef_offset", 0.0))
 
 
 class RecallModel:
@@ -60,6 +69,7 @@ class RecallModel:
         if sel <= 0:
             return 0.0
         k, beta = self.p.k, self.p.beta
+        ef = max(ef - self.p.ef_offset, 0.0)
         threshold = k * topk / sel
         if ef <= threshold:
             r = ef * sel / topk
@@ -82,6 +92,11 @@ def ef_for_recall(
     largest 1 + x/10 with (1 + x/10) - k < 1, x in {3,2,...}).
     """
     k, beta = params.k, params.beta
+    safe_sel = max(sel, 1e-6)
+    if target_recall is not None and target_recall <= k:
+        # below the knee the model is the linear ramp: invert it directly
+        # (the sigmoid inversion is only valid above recall = k)
+        return target_recall * topk / safe_sel + params.ef_offset
     if target_recall is None:
         x = 3
         while (1 + x / 10) - k >= 1:
@@ -90,14 +105,13 @@ def ef_for_recall(
     else:
         # sigmoid output needed: recall = sig + (k - 0.5) => sig target
         dynamic_value = target_recall + 0.5
-    safe_sel = max(sel, 1e-6)
     delta = max(dynamic_value - k, 1e-6)
     inner = 1.0 / delta - 1.0
     if inner <= 0:
         inner = 1e-6
     safe_beta = beta if abs(beta) > 1e-6 else 1e-6
     return (math.log(inner) / (-4.0 * safe_beta * safe_sel) * topk
-            + k * topk / safe_sel)
+            + k * topk / safe_sel + params.ef_offset)
 
 
 class QueryTimeModel:

@@ -18,7 +18,9 @@ import numpy as np
 from .cost import CostModelParams
 
 
-def _piecewise(ef: np.ndarray, k: float, beta: float, topk: float, sel: float) -> np.ndarray:
+def _piecewise(ef: np.ndarray, k: float, beta: float, topk: float,
+               sel: float, ef0: float = 0.0) -> np.ndarray:
+    ef = np.maximum(ef - ef0, 0.0)
     threshold = k * topk / max(sel, 1e-9)
     lin = ef * sel / topk
     expo = -4.0 * beta * sel / topk * (ef - threshold)
@@ -32,31 +34,50 @@ def fit_recall_params(
     recalls: Sequence[float],
     topk: int,
     sel: float,
-) -> Tuple[float, float]:
-    """Fit (k, beta) of the piecewise recall model to measured points."""
+    fit_offset: bool = False,
+) -> Tuple[float, ...]:
+    """Fit (k, beta) — or (k, beta, ef_offset) with fit_offset=True — of the
+    piecewise recall model to measured points. The offset extension handles
+    near-saturated filtered indexes whose measured curve rises much earlier
+    than the 2-parameter family allows (PARITY.md's admitted loose fit)."""
     efs = np.asarray(efs, dtype=np.float64)
     recalls = np.asarray(recalls, dtype=np.float64)
 
-    def model(ef, k, beta):
+    def model2(ef, k, beta):
         return _piecewise(ef, k, beta, float(topk), float(sel))
 
+    def model3(ef, k, beta, ef0):
+        return _piecewise(ef, k, beta, float(topk), float(sel), ef0)
+
+    lo_ef0 = -float(np.max(efs))
+    hi_ef0 = float(np.max(efs)) / 2
     try:
         from scipy.optimize import curve_fit
 
+        if fit_offset:
+            (k, beta, ef0), _ = curve_fit(
+                model3, efs, recalls, p0=[1.0, 0.4, 0.0],
+                bounds=([0.5, 1e-3, lo_ef0], [1.0, 10.0, hi_ef0]),
+                maxfev=20000,
+            )
+            return float(k), float(beta), float(ef0)
         (k, beta), _ = curve_fit(
-            model, efs, recalls, p0=[1.0, 0.4],
+            model2, efs, recalls, p0=[1.0, 0.4],
             bounds=([0.5, 1e-3], [1.0, 10.0]), maxfev=20000,
         )
         return float(k), float(beta)
     except Exception:
         # numpy fallback: coarse grid + local refinement
-        best = (1.0, 0.4, np.inf)
-        for k in np.linspace(0.5, 1.0, 26):
-            for beta in np.geomspace(1e-3, 10, 60):
-                err = float(np.mean((model(efs, k, beta) - recalls) ** 2))
-                if err < best[2]:
-                    best = (float(k), float(beta), err)
-        return best[0], best[1]
+        ef0s = np.linspace(lo_ef0, hi_ef0, 21) if fit_offset else [0.0]
+        best = (1.0, 0.4, 0.0, np.inf)
+        for ef0 in ef0s:
+            for k in np.linspace(0.5, 1.0, 26):
+                for beta in np.geomspace(1e-3, 10, 40):
+                    err = float(np.mean(
+                        (model3(efs, k, beta, ef0) - recalls) ** 2))
+                    if err < best[3]:
+                        best = (float(k), float(beta), float(ef0), err)
+        return best[:3] if fit_offset else best[:2]
 
 
 def fit_qps_params(
@@ -77,13 +98,33 @@ def fit_qps_params(
     return float(a), float(b)
 
 
+def fit_join_time(
+    n_partitions: Sequence[int],
+    times: Sequence[float],
+) -> float:
+    """Fit the per-partition probe overhead: measured total query time at a
+    FIXED total row count split over m partitions is t(m) = t_scan + J*m;
+    the slope J is the join_time constant (the reference regresses the
+    'SubPlan 2' actual-time lines, analysis_hnsw_qps.py:371
+    run_experiment_on_join_time — here the overhead is the per-dispatch
+    launch + merge cost instead of a SQL join)."""
+    m = np.asarray(n_partitions, dtype=np.float64)
+    t = np.asarray(times, dtype=np.float64)
+    j, _ = np.polyfit(m, t, deg=1)
+    return float(max(j, 0.0))
+
+
 def fit_cost_model(
     recall_points: Tuple[Sequence[float], Sequence[float]],
     qps_points: Tuple[Sequence[float], Sequence[float], Sequence[float]],
     topk: int,
     sel: float,
     join_time: float = 0.0,
+    fit_offset: bool = False,
 ) -> CostModelParams:
-    k, beta = fit_recall_params(recall_points[0], recall_points[1], topk, sel)
+    rp = fit_recall_params(recall_points[0], recall_points[1], topk, sel,
+                           fit_offset=fit_offset)
     a, b = fit_qps_params(*qps_points)
-    return CostModelParams(k=k, beta=beta, a=a, b=b, join_time=join_time)
+    ef0 = rp[2] if len(rp) > 2 else 0.0
+    return CostModelParams(k=rp[0], beta=rp[1], a=a, b=b,
+                           join_time=join_time, ef_offset=ef0)

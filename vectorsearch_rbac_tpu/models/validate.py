@@ -63,6 +63,127 @@ def fit_from_sweep(
     return CostModelParams(k=k_, beta=beta, a=a, b=b)
 
 
+def selectivity_lab_world(num_docs: int, sels: Sequence[float], seed: int = 0):
+    """A crafted RBAC world for model validation: role i reads an exact
+    random `sels[i]` fraction of documents; one catch-all role keeps full
+    coverage; user i holds exactly role i. Querying as user i measures the
+    index at selectivity sels[i] — the controlled grid the reference's
+    multi_parameter_model_validation.py sweeps with SQL table subsets."""
+    from ..rbac.world import RBACWorld
+
+    rng = np.random.default_rng(seed)
+    role_to_docs = {}
+    for i, s in enumerate(sels):
+        n_sel = max(1, int(round(s * num_docs)))
+        role_to_docs[i] = frozenset(
+            rng.choice(num_docs, n_sel, replace=False).tolist())
+    role_to_docs[len(sels)] = frozenset(range(num_docs))  # coverage
+    user_to_roles = {i: (i,) for i in range(len(sels) + 1)}
+    return RBACWorld(
+        num_users=len(sels) + 1, num_roles=len(sels) + 1, num_docs=num_docs,
+        user_to_roles=user_to_roles, role_to_docs=role_to_docs,
+    )
+
+
+def multi_parameter_validation(
+    corpus,
+    world,                      # selectivity_lab_world
+    sels: Sequence[float],
+    sizes: Sequence[int],
+    efs: Sequence[int],
+    topk: int,
+    queries: np.ndarray,
+    arena=None,
+    index_kind: str = "hnsw",
+    fit_cell: int = 0,          # (size, sel) cell the params are fitted on
+    fit_offset: bool = True,
+    seed: int = 0,
+    timing_reps: int = 2,
+) -> Dict[str, object]:
+    """Grid validation (reference multi_parameter_model_validation.py):
+    build one index per size (a random row subset), sweep ef at every
+    selectivity, fit (k, beta[, ef_offset]) on ONE cell and (a, b) jointly
+    across ALL sizes, then report recall MAE / time MAPE per cell and
+    aggregate. Returns a JSON-able dict."""
+    from ..core import build_device_arena
+    from ..index.hnsw import HNSWIndex
+    from ..index.ivf import IVFIndex
+
+    if arena is None:
+        arena = build_device_arena(corpus, world, block_rows=4096)
+    rng = np.random.default_rng(seed)
+    bits = corpus.vector_role_bits(world)
+    nq = len(queries)
+
+    cells = []
+    qps_n, qps_ef, qps_t = [], [], []
+    for size in sizes:
+        rows = np.sort(rng.choice(corpus.n, size, replace=False))
+        if index_kind == "hnsw":
+            idx = HNSWIndex(arena, rows=rows, m=16, ef_construction=64,
+                            query_batch=min(1024, len(queries)), seed=seed)
+            search = lambda q, m, k, ef: idx.search(q, m, k, ef_search=ef)
+        else:
+            idx = IVFIndex(arena, rows=rows, nlist=max(16, int(np.sqrt(size))),
+                           query_batch=min(1024, len(queries)), seed=seed)
+            search = lambda q, m, k, ef: idx.search(q, m, k, nprobe=ef)
+        sub_vec = corpus.vectors[rows]
+        sub_norm = np.einsum("nd,nd->n", sub_vec, sub_vec)
+        for si, sel in enumerate(sels):
+            masks = np.tile(world.user_masks[si], (nq, 1))
+            allowed = (bits[rows] & world.user_masks[si]).any(axis=1)
+            d2 = sub_norm[None, :] - 2.0 * queries @ sub_vec.T
+            d2[:, ~allowed] = np.inf
+            order = np.argsort(d2, axis=1, kind="stable")[:, :topk]
+            truth = rows[order]
+            truth[np.take_along_axis(d2, order, axis=1) == np.inf] = -1
+            sweep = sweep_search_width(search, queries, masks, truth,
+                                       topk, efs, timing_reps=timing_reps)
+            cells.append({"n": int(size), "sel": float(sel), "sweep": sweep})
+            qps_n += [size] * len(efs)
+            qps_ef += list(sweep["efs"])
+            qps_t += sweep["times_s"]
+
+    # fit: recall params on one cell, (a, b) jointly across all sizes
+    fit = cells[fit_cell]
+    rp = fit_recall_params(fit["sweep"]["efs"], fit["sweep"]["recalls"],
+                           topk, fit["sel"], fit_offset=fit_offset)
+    a, b = fit_qps_params(qps_n, qps_ef, qps_t)
+    params = CostModelParams(k=rp[0], beta=rp[1], a=a, b=b,
+                             ef_offset=rp[2] if len(rp) > 2 else 0.0)
+
+    rm = RecallModel(params)
+    qm = QueryTimeModel(params)
+    out_cells = []
+    maes, mapes = [], []
+    for cell in cells:
+        sweep = cell["sweep"]
+        pred_r = [rm.recall(ef, topk, cell["sel"]) for ef in sweep["efs"]]
+        pred_t = [qm.partition_time(cell["n"], ef) for ef in sweep["efs"]]
+        mae = float(np.mean([abs(p - m) for p, m in
+                             zip(pred_r, sweep["recalls"])]))
+        mt = np.asarray(sweep["times_s"])
+        mape = float(np.mean(np.abs(np.asarray(pred_t) - mt)
+                             / np.maximum(mt, 1e-12)))
+        maes.append(mae)
+        mapes.append(mape)
+        out_cells.append({
+            "n": cell["n"], "sel": cell["sel"],
+            "efs": sweep["efs"], "measured_recall": sweep["recalls"],
+            "predicted_recall": pred_r,
+            "measured_time_s": sweep["times_s"], "predicted_time_s": pred_t,
+            "recall_mae": mae, "time_mape": mape,
+        })
+    return {
+        "index": index_kind,
+        "params": params.to_dict(),
+        "cells": out_cells,
+        "recall_mae": float(np.mean(maes)),
+        "time_mape": float(np.mean(mapes)),
+        "fit_cell": {"n": fit["n"], "sel": fit["sel"]},
+    }
+
+
 def validate_models(
     sweep: Dict[str, List[float]],
     params: CostModelParams,

@@ -306,10 +306,17 @@ def graph_beam_search_iterative(
     Differences vs graph_beam_search (the round-1 fixed-budget traversal,
     whose recall plateaued at 0.51 on 1M dynamic partitions):
 
-    - per-query TERMINATION, not a fixed step count: a query stops only
-      when its frontier is exhausted or the nearest unexpanded beam node
-      cannot improve its filtered result list (res full AND frontier_min >
-      res_max) — low-selectivity queries keep expanding, up to max_steps;
+    - per-query TERMINATION with classic ef semantics: a query stops when
+      its frontier is exhausted, or when the nearest unexpanded candidate
+      is farther than the ef-th nearest VISITED node (the unfiltered
+      window W — pgvector's termination test against the ef_search-wide
+      candidate set, hnswscan.c) AND the filtered result list is full.
+      Terminating against the filtered list alone prunes wrongly at high
+      selectivity (measured recall 0.90 vs 0.983: a frontier node farther
+      than the kk-th admissible result can still route to closer nodes);
+      low-selectivity queries keep expanding past standard termination
+      until k admissible rows are found, up to max_steps — that
+      continuation is exactly pgvector's hnsw.iterative_scan;
     - EXACT visited set as a (Q, n_pad) bitmap (the round-1 beam+history
       membership check was approximate and re-expanded nodes);
     - per-query entry points (callers pass the admissible node nearest the
@@ -353,21 +360,28 @@ def graph_beam_search_iterative(
     res_ids = res_ids.at[:, 0].set(jnp.where(e_ok[:, 0], entry_ids[:, 0], -1))
     res_d = res_d.at[:, 0].set(jnp.where(e_ok[:, 0], entry_d[:, 0], INF))
 
+    # W: the ef nearest VISITED nodes, unfiltered — the classic-HNSW
+    # termination window (res_d is the FILTERED top-k and must not gate
+    # exploration)
+    w_d = jnp.concatenate([entry_d, jnp.full((nq, ef - 1), INF)], axis=1)
+
     visited = jnp.zeros((nq, npad), dtype=bool)
     visited = visited.at[rows, jnp.maximum(entries, 0)].set(True)
 
-    def cond(state):
-        t, beam_ids, beam_d, res_ids, res_d, visited = state
+    def _done(beam_d, res_d, w_d):
         fmin = jnp.min(beam_d, axis=1)
-        # done: no frontier, or result list full and unbeatable
-        done = ~jnp.isfinite(fmin) | (fmin >= res_d[:, -1])
-        return (t < max_steps) & ~jnp.all(done)
+        res_full = jnp.isfinite(res_d[:, -1])
+        return ~jnp.isfinite(fmin) | ((fmin >= w_d[:, -1]) & res_full)
+
+    def cond(state):
+        t, beam_ids, beam_d, res_ids, res_d, w_d, visited = state
+        return (t < max_steps) & ~jnp.all(_done(beam_d, res_d, w_d))
 
     def body(state):
-        t, beam_ids, beam_d, res_ids, res_d, visited = state
+        t, beam_ids, beam_d, res_ids, res_d, w_d, visited = state
         sel = jnp.argmin(beam_d, axis=1)
         fmin = beam_d[rows, sel]
-        active = jnp.isfinite(fmin) & (fmin < res_d[:, -1])
+        active = jnp.isfinite(fmin) & ~_done(beam_d, res_d, w_d)
         node = jnp.where(active, beam_ids[rows, sel], -1)
         # pop the expanded node from the queue
         beam_d = beam_d.at[rows, sel].set(INF)
@@ -388,6 +402,10 @@ def graph_beam_search_iterative(
         neg_top, pos = jax.lax.top_k(-all_d, ef)
         beam_d = -neg_top
         beam_ids = jnp.take_along_axis(all_ids, pos, axis=1)
+
+        # visited-best window merge (termination state)
+        neg_w, _ = jax.lax.top_k(-jnp.concatenate([w_d, nd], axis=1), ef)
+        w_d = -neg_w
 
         # filtered result merge (optionally harvesting the 2-hop ring)
         if harvest_2hop:
@@ -426,11 +444,11 @@ def graph_beam_search_iterative(
         neg_top, pos = jax.lax.top_k(-r_d, k)
         res_d = -neg_top
         res_ids = jnp.take_along_axis(r_ids, pos, axis=1)
-        return (t + 1, beam_ids, beam_d, res_ids, res_d, visited)
+        return (t + 1, beam_ids, beam_d, res_ids, res_d, w_d, visited)
 
-    state = (jnp.int32(0), beam_ids, beam_d, res_ids, res_d, visited)
+    state = (jnp.int32(0), beam_ids, beam_d, res_ids, res_d, w_d, visited)
     state = jax.lax.while_loop(cond, body, state)
-    _, _, _, res_ids, res_d, _ = state
+    _, _, _, res_ids, res_d, _, _ = state
 
     empty = jnp.isinf(res_d)
     dists = jnp.where(empty, INF, jnp.maximum(res_d + qn, 0.0))

@@ -122,10 +122,15 @@ def build_qd_tree(
         best: Tuple[float, Optional[tuple], Set[int], Set[int]] = (
             float("inf"), None, set(), set(),
         )
-        # role predicates: sample candidate roles that actually split
+        # role predicates: score EVERY role that actually splits this node
+        # (sampling only above the candidate cap) — the reference's
+        # find_best_split scores the full candidate list (HQI/qd_tree.py:
+        # 420-505); round-1 sampled 16 shuffled roles, which regularly
+        # missed the workload-aligned split
         roles = list(world.role_to_docs.keys())
-        rng.shuffle(roles)
-        tried = 0
+        if len(roles) > 4 * n_candidate_roles:
+            rng.shuffle(roles)
+            roles = roles[: 4 * n_candidate_roles]
         for r in roles:
             rdocs = world.role_to_docs[r]
             left = docs & rdocs
@@ -135,32 +140,31 @@ def build_qd_tree(
             sc = _split_score(left, right, query_docsets)
             if sc < best[0]:
                 best = (sc, ("role", r), left, right)
-            tried += 1
-            if tried >= n_candidate_roles:
-                break
 
-        # centroid predicate: 2-means on doc means
+        # centroid predicate: 2-means on doc means, multiple restarts
         dlist = np.fromiter(docs, dtype=np.int64, count=len(docs))
         pts = doc_means[dlist]
         if len(dlist) >= 4:
-            c = pts[rng.choice(len(dlist), 2, replace=False)].copy()
-            for _ in range(8):
+            for _restart in range(3):
+                c = pts[rng.choice(len(dlist), 2, replace=False)].copy()
+                for _ in range(8):
+                    d0 = ((pts - c[0]) ** 2).sum(1)
+                    d1 = ((pts - c[1]) ** 2).sum(1)
+                    a = d0 <= d1
+                    if a.all() or (~a).all():
+                        break
+                    c[0] = pts[a].mean(0)
+                    c[1] = pts[~a].mean(0)
                 d0 = ((pts - c[0]) ** 2).sum(1)
                 d1 = ((pts - c[1]) ** 2).sum(1)
                 a = d0 <= d1
-                if a.all() or (~a).all():
-                    break
-                c[0] = pts[a].mean(0)
-                c[1] = pts[~a].mean(0)
-            d0 = ((pts - c[0]) ** 2).sum(1)
-            d1 = ((pts - c[1]) ** 2).sum(1)
-            a = d0 <= d1
-            if 0 < a.sum() < len(a):
-                left = set(dlist[a].tolist())
-                right = docs - left
-                sc = _split_score(left, right, query_docsets)
-                if sc < best[0]:
-                    best = (sc, ("centroid", c[0].copy(), c[1].copy()), left, right)
+                if 0 < a.sum() < len(a):
+                    left = set(dlist[a].tolist())
+                    right = docs - left
+                    sc = _split_score(left, right, query_docsets)
+                    if sc < best[0]:
+                        best = (sc, ("centroid", c[0].copy(), c[1].copy()),
+                                left, right)
 
         if best[1] is None:
             return _leaf(docs)
@@ -198,7 +202,9 @@ def build_qdtree_searcher(
     workload=None,
     min_leaf: int = 64,
     max_depth: int = 8,
-    prune_by_centroid: bool = False,
+    prune_by_centroid: bool = True,   # HQI routes one side at centroid
+                                      # predicates (reference
+                                      # qd_tree_search_statistics_sql)
     tree: Optional[QDTree] = None,
     packed: bool = True,
 ) -> PartitionedSearcher:
@@ -228,6 +234,16 @@ def build_qdtree_searcher(
         return tuple(p for p in pids if p in partition_rows)
 
     if packed and cfg.index.kind in ("flat", "flat_approx"):
+        if arena.quant is not None:
+            from .tiled import TiledSearcher
+            searcher = TiledSearcher(
+                arena, partition_rows,
+                router=lambda uid: vector_router(uid, None), name="qdtree",
+                num_roles=world.num_roles,
+            )
+            searcher.vector_router = vector_router
+            searcher.tree = tree
+            return searcher
         from .packed import PackedSearcher
         searcher = PackedSearcher(
             arena, partition_rows,
