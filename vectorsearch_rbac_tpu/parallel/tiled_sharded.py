@@ -230,14 +230,13 @@ class ShardedTiledSearcher:
             m8 = q.quantize_masks(
                 qmasks, self.num_roles if self.num_roles else q.r_pad)
 
-        # two chunk classes (small/large) like partition/tiled.py, but slots
-        # are laid out PER DEVICE: dispatch shape (S, slots*qt, ...)
+        # pow2 chunk classes like partition/tiled.py, but slots are laid
+        # out PER DEVICE: dispatch shape (S, slots*qt, ...)
         small_cap = min(_SMALL_CHUNKS, _pow2(self.chunks_max))
-        large_cap = _pow2(self.chunks_max)
         per_class: Dict[int, List[List[Tuple[int, List[int]]]]] = {}
         for (dev, pid), qidx in dev_pid_queries.items():
             nc = len(next(iter(self.part_chunks[pid].values())))
-            cb = small_cap if nc <= small_cap else large_cap
+            cb = small_cap if nc <= small_cap else _pow2(nc)
             slots = per_class.setdefault(cb, [[] for _ in range(S)])
             for s0 in range(0, len(qidx), qt):
                 slots[dev].append((pid, qidx[s0:s0 + qt]))

@@ -284,6 +284,11 @@ def apply_plan_update(
         # incremental per-partition reuse applies to the unpacked layout
         return build_dynamic_searcher(corpus, world, arena, cfg,
                                       plan=new_plan, packed=True)
+    if cfg.index.kind == "hybrid":
+        # per-partition index KIND depends on the plan's selectivity map,
+        # which the update may change — rebuild through the hybrid chooser
+        return build_dynamic_searcher(corpus, world, arena, cfg,
+                                      plan=new_plan, packed=False)
     partitions: Dict[int, BuiltPartition] = {}
     rebuilt = 0
     for pid, docs in sorted(new_plan.assignment.items()):

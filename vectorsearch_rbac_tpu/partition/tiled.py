@@ -146,19 +146,19 @@ class TiledSearcher:
                 qmasks, self.num_roles if self.num_roles else q.r_pad)
 
         # slots: (pid, query idx list of <= q_tile). To bound XLA compiles
-        # (minutes each through a remote tunnel) there are at most TWO
-        # dispatch shapes: a small class (<= _SMALL_CHUNKS chunks) and a
-        # large class (padded to the strategy's max chunk count), each with
-        # a fixed slot count per dispatch (excess slots = more dispatches
-        # of the same compiled shape).
+        # (minutes each through a remote tunnel) dispatch shapes are pow2
+        # chunk classes (8, 16, 32, ... up to the strategy max) with a
+        # fixed slot count per dispatch — O(log) compiled shapes, and a
+        # 24-chunk partition pads to 32 chunks instead of the strategy max
+        # (the round-1 two-class scheme re-scanned up to 10x dummy chunks
+        # for mid-sized partitions).
         qt = self.q_tile
         chunks_max = max((len(c) for c in self.part_chunks.values()), default=1)
         small_cap = min(_SMALL_CHUNKS, _pow2(chunks_max))
-        large_cap = _pow2(chunks_max)
         buckets: Dict[int, List[Tuple[int, List[int]]]] = {}
         for pid, qidx in pid_queries.items():
             nc = len(self.part_chunks[pid])
-            cb = small_cap if nc <= small_cap else large_cap
+            cb = small_cap if nc <= small_cap else _pow2(nc)
             for s in range(0, len(qidx), qt):
                 buckets.setdefault(cb, []).append((pid, qidx[s:s + qt]))
 
