@@ -38,11 +38,15 @@ def main():
                     choices=["rls", "role", "user", "dynamic", "qdtree"])
     ap.add_argument("--index", default="flat_approx",
                     choices=["flat", "flat_approx", "ivf", "hnsw"])
-    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--dtype", default="int8",
+                    help="serving arena dtype; int8 rides the MXU's 2x-rate "
+                         "int8 path (exact for SIFT-family corpora)")
     ap.add_argument("--block-rows", type=int, default=131072)
     ap.add_argument("--dataset", default="sift1m",
                     choices=["sift1m", "sift10m", "cohere", "synthetic"])
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--batch", type=int, default=0,
+                    help="serving query batch (0 = strategy default)")
     args = ap.parse_args()
 
     if args.smoke:
@@ -77,7 +81,10 @@ def main():
 
     cfg = FrameworkConfig(seed=args.seed)
     cfg.search.block_rows = args.block_rows
-    cfg.search.batch_size = 4096 if args.strategy == "rls" else 1024
+    # 2048 measured best for the int8 rls path: small batches pipeline
+    # kernel compute against the result-fetch transfers (sweep: 1024 ->
+    # 53.6k, 2048 -> 56.4k, 4096 -> 47.5k, 8192 -> 34.6k QPS)
+    cfg.search.batch_size = args.batch or (2048 if args.strategy == "rls" else 1024)
     cfg.search.topk = args.topk
     cfg.search.dtype = args.dtype
     cfg.index.kind = args.index

@@ -164,3 +164,77 @@ def test_tiled_zero_role_user(int_corpus, int_world, int_arena):
     # user 0's comb router may still route by roles; rows must be masked out
     # if the router yields nothing, everything is -1 anyway
     assert ((ids[0] == -1) | (d[0] < np.inf)).all()
+
+
+def test_wire_format_roundtrip():
+    """pack_results_device / unpack_results_host: bf16 dist + split-id wire
+    format survives the trip, including -1 / +inf empty slots."""
+    import jax.numpy as jnp
+
+    from vectorsearch_rbac_tpu.ops.pallas_scan_int8 import (
+        pack_results_device, unpack_results_host,
+    )
+
+    rng = np.random.default_rng(0)
+    q, k = 7, 5
+    for id_bits in (16, 20, 24, 28):   # <=16: no hi words at all
+        d = rng.uniform(0, 6e6, (q, k)).astype(np.float32)  # SIFT sq-L2
+        i = rng.integers(0, 1 << id_bits, (q, k)).astype(np.int32)
+        i[0, 0] = (1 << id_bits) - 1   # max id must survive
+        d[2, 3:] = np.inf
+        i[2, 3:] = -1
+        wire = pack_results_device(jnp.asarray(d), jnp.asarray(i),
+                                   id_bits=id_bits)
+        assert wire.dtype == jnp.uint16
+        d2, i2 = unpack_results_host(wire, k, id_bits=id_bits)
+        np.testing.assert_array_equal(i2, i)
+        assert np.isinf(d2[2, 3:]).all()
+        fin = np.isfinite(d)
+        # bf16 keeps ~8 mantissa bits
+        np.testing.assert_allclose(d2[fin], d[fin], rtol=8e-3)
+
+
+def test_expand_masks_device_matches_host():
+    import jax.numpy as jnp
+
+    from vectorsearch_rbac_tpu.core import bits_to_onehot8
+    from vectorsearch_rbac_tpu.ops.pallas_scan_int8 import expand_masks_device
+
+    rng = np.random.default_rng(1)
+    bits = rng.integers(0, 2**32, (13, 4), dtype=np.uint32)
+    for r_pad in (32, 96, 128, 160):  # 160 > 4*32: tail must be zero
+        got = np.asarray(expand_masks_device(jnp.asarray(bits), r_pad))
+        want = bits_to_onehot8(bits, min(r_pad, 128), r_pad)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_int8_flat_index_end_to_end(int_corpus, int_world, int_arena):
+    """Int8FlatIndex (the serving engine) on CPU interpret mode: security +
+    recall vs the float oracle through the full deferred/wire path."""
+    from vectorsearch_rbac_tpu.index.flat_int8 import Int8FlatIndex
+
+    idx = Int8FlatIndex(int_arena, None, query_batch=32, q_tile=16,
+                        block_rows=256, group=8)
+    rng = np.random.default_rng(7)
+    nq, k = 20, 6  # nq < query_batch and not a multiple: pads one batch
+    qf = rng.integers(0, 256, (nq, int_corpus.dim)).astype(np.float32)
+    users = rng.integers(0, int_world.num_users, nq)
+    masks = int_world.user_masks[users]
+    d, ids = idx.search(qf, masks, k)
+    assert d.shape == (nq, k) and ids.shape == (nq, k)
+    bits = int_corpus.vector_role_bits(int_world)
+    hits = total = 0
+    for qi in range(nq):
+        want = _oracle(int_corpus, int_world, qf[qi], masks[qi], k)
+        got = [int(x) for x in ids[qi] if x >= 0]
+        for r in got:
+            assert (bits[r] & masks[qi]).any()
+        if want:
+            assert got and got[0] == want[0]
+        hits += len(set(got) & set(want))
+        total += max(len(want), 1)
+        for j, r in enumerate(ids[qi]):
+            if r >= 0:
+                true = ((int_corpus.vectors[r] - qf[qi]) ** 2).sum()
+                assert abs(d[qi, j] - true) / max(true, 1.0) < 1e-2
+    assert hits / total >= 0.9, f"recall {hits/total}"

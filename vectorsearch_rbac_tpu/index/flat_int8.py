@@ -29,8 +29,10 @@ class Int8FlatIndex:
         self,
         arena: DeviceArena,
         rows: Optional[np.ndarray] = None,
-        query_batch: int = 4096,
-        q_tile: int = 512,
+        query_batch: int = 8192,
+        q_tile: int = 2048,   # measured: qt2048 kernel 43 ms vs qt512 51 ms
+                              # per 8192 queries x 1M rows (scripts/
+                              # int8_stage_profile.py)
         block_rows: int = 4096,
         group: int = 128,
         rerank: Optional[bool] = None,  # None = auto (rerank iff lossy)
@@ -75,40 +77,60 @@ class Int8FlatIndex:
             self._row_map = jax.device_put(rmap)
             self._gathered = True
         self._quant = q
+        # wire-format id width: results carry ARENA row ids (after _map_rows
+        # in gathered mode), so size to the arena's padded row count
+        self._id_bits = max((arena.n_padded - 1).bit_length(), 1)
 
     # ------------------------------------------------------------- search
 
     def search_deferred(self, queries: np.ndarray, query_masks: np.ndarray,
                         k: int):
+        import jax
         import jax.numpy as jnp
 
-        from ..ops.pallas_scan_int8 import int8_masked_topk
+        from ..ops.pallas_scan_int8 import (
+            expand_masks_device, int8_masked_topk, pack_results_device,
+            unpack_results_host,
+        )
         from .flat import _map_rows
 
         quant = self._quant
         qf = np.asarray(queries, dtype=np.float32)
-        masks = np.asarray(query_masks, dtype=np.uint32)
+        masks = np.ascontiguousarray(query_masks, dtype=np.uint32)
         nq = qf.shape[0]
-        bs = self.query_batch
+        # don't pad a small workload up to the full serving batch — but keep
+        # a floor of 32 queries: Mosaic can't lower the degenerate (1, d)
+        # int8 matmul a batch-1 dispatch would otherwise produce
+        pow2 = 1 << (max(nq, 1) - 1).bit_length()
+        bs = min(self.query_batch, max(pow2, 32))
+        q_tile = min(self.q_tile, bs)
         q8, qn = quant.quantize_queries(qf)
-        m8 = quant.quantize_masks(masks, None)
         inv = jnp.float32(1.0 / quant.scale**2)
+        r_pad = quant.r_pad
+        # Mosaic kernels need a TPU; CPU (tests) runs the interpreter
+        interp = jax.default_backend() == "cpu"
 
         pending = []
         for s in range(0, nq, bs):
             e = min(s + bs, nq)
-            q8b = np.zeros((bs, q8.shape[1]), dtype=np.int8)
-            qnb = np.zeros(bs, dtype=np.int32)
-            m8b = np.zeros((bs, m8.shape[1]), dtype=np.int8)
-            q8b[: e - s] = q8[s:e]
-            qnb[: e - s] = qn[s:e]
-            m8b[: e - s] = m8[s:e]
+            if e - s == bs:
+                q8b, qnb, mb = q8[s:e], qn[s:e], masks[s:e]
+            else:
+                q8b = np.zeros((bs, q8.shape[1]), dtype=np.int8)
+                qnb = np.zeros(bs, dtype=np.int32)
+                mb = np.zeros((bs, masks.shape[1]), dtype=np.uint32)
+                q8b[: e - s] = q8[s:e]
+                qnb[: e - s] = qn[s:e]
+                mb[: e - s] = masks[s:e]
+            # masks travel as uint32 bitsets (16 B/query) and expand to the
+            # int8 one-hot on device — 8x less host->device traffic
+            m8b = expand_masks_device(jnp.asarray(mb), r_pad)
             kk = k + self.rerank_margin if self.rerank else k
             d, i = int8_masked_topk(
                 jnp.asarray(q8b), jnp.asarray(qnb), self._vq, self._nq,
-                self._r8, jnp.asarray(m8b), inv, kk,
-                q_tile=self.q_tile, block_rows=self.block_rows,
-                group=self.group,
+                self._r8, m8b, inv, kk,
+                q_tile=q_tile, block_rows=self.block_rows,
+                group=self.group, merge="exact", interpret=interp,
             )
             if self.rerank:
                 d, i = _rerank_f32(
@@ -118,14 +140,34 @@ class Int8FlatIndex:
                 )
             if self._row_map is not None:
                 i = _map_rows(i, self._row_map)
-            pending.append((s, e, d, i))
+            # one packed uint16 wire array per batch (bf16 dist + nibble-
+            # packed ids); async device->host copy overlaps later batches'
+            # compute with this batch's tunnel transfer
+            wire = pack_results_device(d[:, :k], i[:, :k],
+                                       id_bits=self._id_bits)
+            try:
+                wire.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass
+            pending.append((s, e, wire))
 
         def finalize():
             out_d = np.empty((nq, k), dtype=np.float32)
             out_i = np.empty((nq, k), dtype=np.int64)
-            for s, e, d, i in pending:
-                out_d[s:e] = np.asarray(d)[: e - s, :k]
-                out_i[s:e] = np.asarray(i)[: e - s, :k]
+            # concurrent device->host fetches overlap tunnel RTTs (measured
+            # ~2x over sequential asarray, scripts/fetch_concurrency.py)
+            if len(pending) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(min(len(pending), 4)) as pool:
+                    wires = list(pool.map(
+                        np.asarray, [w for _, _, w in pending]))
+            else:
+                wires = [np.asarray(w) for _, _, w in pending]
+            for (s, e, _), w in zip(pending, wires):
+                d, i = unpack_results_host(w, k, id_bits=self._id_bits)
+                out_d[s:e] = d[: e - s]
+                out_i[s:e] = i[: e - s]
             return out_d, out_i
 
         return finalize
