@@ -238,3 +238,47 @@ def test_int8_flat_index_end_to_end(int_corpus, int_world, int_arena):
                 true = ((int_corpus.vectors[r] - qf[qi]) ** 2).sum()
                 assert abs(d[qi, j] - true) / max(true, 1.0) < 1e-2
     assert hits / total >= 0.9, f"recall {hits/total}"
+
+
+def test_tiled_big_tier(int_corpus, int_world, int_arena):
+    """A mixed two-tier searcher: one big partition (flagship-kernel
+    gathered scan, fine group) + small chunk-engine partitions. Security is
+    exact; recall vs oracle bounded only by group-min collisions."""
+    from vectorsearch_rbac_tpu.partition.tiled import TiledSearcher
+
+    n = int_corpus.n
+    rows_by_pid = {
+        0: np.arange(0, 800, dtype=np.int64),           # big tier (4 chunks)
+        1: np.arange(800, n, dtype=np.int64),           # chunk engine
+    }
+
+    def router(uid):
+        return (0, 1)
+
+    s = TiledSearcher(int_arena, rows_by_pid, router, "mixed",
+                      chunk_rows=256, num_roles=int_world.num_roles,
+                      big_chunks=2, big_group=8)
+    assert list(s._big) == [0] and list(s.part_chunks) == [1]
+
+    rng = np.random.default_rng(21)
+    nq, k = 16, 5
+    qf = rng.integers(0, 256, (nq, int_corpus.dim)).astype(np.float32)
+    users = rng.integers(0, int_world.num_users, nq)
+    d, ids = s.search_batch(qf, users, int_world.user_masks, k)
+    bits = int_corpus.vector_role_bits(int_world)
+    masks = int_world.user_masks[users]
+    hits = total = 0
+    for qi in range(nq):
+        want = _oracle(int_corpus, int_world, qf[qi], masks[qi], k)
+        got = [int(x) for x in ids[qi] if x >= 0]
+        for r in got:
+            assert (bits[r] & masks[qi]).any()
+        if want:
+            assert got and got[0] == want[0]   # top-1 survives group-min
+        hits += len(set(got) & set(want))
+        total += max(len(want), 1)
+        # merged distances ascending
+        fin = d[qi][np.isfinite(d[qi])]
+        assert (np.diff(fin) >= -1e-3).all()
+    assert hits / total >= 0.85, f"recall {hits/total}"
+    assert s.storage_report()["partition_vectors_mb"] > 0

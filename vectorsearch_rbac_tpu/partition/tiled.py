@@ -51,6 +51,21 @@ class TiledSearcher:
         chunk_rows: int = 2048,
         q_tile: int = 64,
         num_roles: Optional[int] = None,
+        big_chunks: int = 48,   # partitions above this chunk count (~96k
+                                # rows) are served by the flagship fused
+                                # int8 Pallas kernel over a gathered
+                                # contiguous copy instead of the chunk
+                                # engine — an AnonySys remainder partition
+                                # can hold most of the corpus, and a
+                                # 672k-row scan belongs on the same path
+                                # as the global RLS scan (measured: the
+                                # chunk engine's pow2 padding + per-chunk
+                                # top_k made it ~90% of dynamic's wall)
+        big_group: int = 32,    # group-min width for the big tier: the
+                                # candidate pool is n_rows/group, so a
+                                # partition tier keeps a finer group than
+                                # the 1M global scan (collision recall
+                                # loss ~ C(k,2) / (n_rows/group))
     ):
         import jax
 
@@ -70,12 +85,22 @@ class TiledSearcher:
         hv, hn, hr = q.host_vectors_q, q.host_norms_q, q.host_roles8
         d, r_pad = hv.shape[1], hr.shape[1]
 
+        # big tier: flagship-kernel indexes over gathered rows
+        from ..index.flat_int8 import Int8FlatIndex
+
+        self._big: Dict[int, Int8FlatIndex] = {}
+        for pid, rows in sorted(partition_rows.items()):
+            if -(-len(rows) // chunk_rows) > big_chunks:
+                self._big[pid] = Int8FlatIndex(
+                    arena, np.asarray(rows), query_batch=2048,
+                    block_rows=8192, group=big_group)
+
         # chunk 0 is the dummy all-masked chunk (zero role one-hot rows are
         # inadmissible for every query) — padding slots point here
         part_chunks: Dict[int, List[int]] = {}
         n_chunks_total = 1
         for pid, rows in sorted(partition_rows.items()):
-            if len(rows) == 0:
+            if len(rows) == 0 or pid in self._big:
                 continue
             nc = -(-len(rows) // chunk_rows)
             part_chunks[pid] = list(range(n_chunks_total, n_chunks_total + nc))
@@ -100,7 +125,8 @@ class TiledSearcher:
         self._roleC = jax.device_put(roleC)
         self._rowC = jax.device_put(rowC)
         self.part_chunks = part_chunks
-        self.partitions = {pid: None for pid in part_chunks}  # count only
+        self.partitions = {pid: None
+                           for pid in (*part_chunks, *self._big)}  # count
         self.num_roles = num_roles
         self._chunk_bytes = (
             n_chunks_total * chunk_rows * (d + r_pad + 4 + 4)
@@ -135,10 +161,22 @@ class TiledSearcher:
             for qi in range(nq):
                 pids = (vrouter(int(user_ids[qi]), queries[qi]) if vrouter
                         else self.router(int(user_ids[qi])))
-                pids = [p for p in pids if p in self.part_chunks]
+                pids = [p for p in pids
+                        if p in self.part_chunks or p in self._big]
                 n_pids[qi] = len(pids)
                 for pid in pids:
                     pid_queries.setdefault(pid, []).append(qi)
+
+        # big-tier partitions: enqueue flagship-kernel scans first so their
+        # device work and result transfers overlap the chunk dispatches
+        big_pending: List[Tuple[int, List[int], object]] = []
+        with self.timer.stage("big_enqueue"):
+            for pid, idx8 in self._big.items():
+                qidx = pid_queries.pop(pid, None)
+                if qidx:
+                    fin = idx8.search_deferred(
+                        queries[qidx], qmasks[qidx], k)
+                    big_pending.append((pid, qidx, fin))
 
         with self.timer.stage("quantize"):
             q8, qn = q.quantize_queries(queries)
@@ -207,6 +245,19 @@ class TiledSearcher:
                             multi.setdefault(qi, []).append(
                                 (d[base + j:base + j + 1],
                                  i[base + j:base + j + 1]))
+            for pid, qidx, fin in big_pending:
+                d, i = fin()
+                if all(n_pids[qi] == 1 for qi in qidx):
+                    out_d[qidx] = d
+                    out_i[qidx] = i
+                    continue
+                for j, qi in enumerate(qidx):
+                    if n_pids[qi] == 1:
+                        out_d[qi] = d[j]
+                        out_i[qi] = i[j]
+                    else:
+                        multi.setdefault(qi, []).append(
+                            (d[j:j + 1], i[j:j + 1]))
             for qi, parts in multi.items():
                 md, mi = merge_topk_host([p[0] for p in parts],
                                          [p[1] for p in parts], k)
@@ -225,11 +276,15 @@ class TiledSearcher:
         slots = self._vecC.shape[0] * self._vecC.shape[1]
         pv = slots * d                      # int8 vectors
         pi = slots * (self._roleC.shape[2] + 4 + 4)  # roles8 + norms + rowmap
+        for idx8 in self._big.values():
+            b = idx8.storage_bytes()
+            pv += b["vectors"]
+            pi += b["index"]
         return {
             "arena_vectors_mb": arena_vec / mb,
             "arena_aux_mb": arena_aux / mb,
             "partition_vectors_mb": pv / mb,
             "partition_index_mb": pi / mb,
             "total_mb": (arena_vec + arena_aux + pv + pi) / mb,
-            "num_partitions": len(self.part_chunks),
+            "num_partitions": len(self.part_chunks) + len(self._big),
         }
