@@ -112,6 +112,7 @@ def test_tiled_searcher_role_exact(int_corpus, int_world, int_arena):
 
     cfg = FrameworkConfig()
     cfg.index.kind = "flat_approx"
+    cfg.search.scan_group = 0   # exact epilogue for the oracle comparison
     s = build_searcher("role", int_corpus, int_world, int_arena, cfg)
     from vectorsearch_rbac_tpu.partition.tiled import TiledSearcher
     assert isinstance(s, TiledSearcher)
@@ -136,6 +137,7 @@ def test_tiled_searcher_dynamic(int_corpus, int_world, int_arena):
     cfg = FrameworkConfig()
     cfg.index.kind = "flat_approx"
     cfg.optimizer.storage_alpha = 1.5
+    cfg.search.scan_group = 0   # exact epilogue for the oracle comparison
     s = build_searcher("dynamic", int_corpus, int_world, int_arena, cfg)
 
     rng = np.random.default_rng(11)
@@ -192,6 +194,13 @@ def test_wire_format_roundtrip():
         fin = np.isfinite(d)
         # bf16 keeps ~8 mantissa bits
         np.testing.assert_allclose(d2[fin], d[fin], rtol=8e-3)
+        # f32 wire (partition tiers): distances exact
+        wire32 = pack_results_device(jnp.asarray(d), jnp.asarray(i),
+                                     id_bits=id_bits, dist16=False)
+        d3, i3 = unpack_results_host(wire32, k, id_bits=id_bits,
+                                     dist16=False)
+        np.testing.assert_array_equal(i3, i)
+        np.testing.assert_array_equal(d3[fin], d[fin])
 
 
 def test_expand_masks_device_matches_host():
@@ -282,3 +291,38 @@ def test_tiled_big_tier(int_corpus, int_world, int_arena):
         assert (np.diff(fin) >= -1e-3).all()
     assert hits / total >= 0.85, f"recall {hits/total}"
     assert s.storage_report()["partition_vectors_mb"] > 0
+
+
+def test_tiled_grouped_epilogue(int_corpus, int_world, int_arena):
+    """scan_group > 0 (the production epilogue): security exact, top-1
+    always survives, set recall bounded by group-min collisions."""
+    from vectorsearch_rbac_tpu.partition import build_searcher
+
+    cfg = FrameworkConfig()
+    cfg.index.kind = "flat_approx"
+    cfg.search.scan_group = 8   # fine group for the tiny corpus
+    s = build_searcher("role", int_corpus, int_world, int_arena, cfg)
+    assert s.scan_group == 8
+
+    rng = np.random.default_rng(13)
+    nq, k = 24, 5
+    qf = rng.integers(0, 256, (nq, int_corpus.dim)).astype(np.float32)
+    users = rng.integers(0, int_world.num_users, nq)
+    d, ids = s.search_batch(qf, users, int_world.user_masks, k)
+    bits = int_corpus.vector_role_bits(int_world)
+    hits = total = 0
+    for qi in range(nq):
+        mask = int_world.user_masks[users[qi]]
+        want = _oracle(int_corpus, int_world, qf[qi], mask, k)
+        got = [int(x) for x in ids[qi] if x >= 0]
+        for r in got:
+            assert (bits[r] & mask).any()
+        if want:
+            assert got and got[0] == want[0]
+        hits += len(set(got) & set(want))
+        total += max(len(want), 1)
+        for j, r in enumerate(ids[qi]):   # distances true modulo the bf16
+            if r >= 0:                    # wire rounding (~0.4% relative)
+                true = ((int_corpus.vectors[r] - qf[qi]) ** 2).sum()
+                assert abs(d[qi, j] - true) / max(true, 1.0) < 8e-3
+    assert hits / total >= 0.85, f"recall {hits/total}"

@@ -66,7 +66,8 @@ def test_sharded_tiled_parity(small_world, small_corpus):
 
     single = TiledSearcher(arena, partition_rows, router, name="role",
                            chunk_rows=128, q_tile=8,
-                           num_roles=small_world.num_roles)
+                           num_roles=small_world.num_roles,
+                           scan_group=0)  # exact: parity vs sharded engine
     mesh = make_mesh(8, n_replicas=1)
     multi = ShardedTiledSearcher(
         arena, partition_rows, router, mesh, name="role_sharded",
@@ -117,7 +118,8 @@ def test_sharded_tiled_replication(small_world, small_corpus):
 
     single = TiledSearcher(arena, partition_rows, router, name="role",
                            chunk_rows=128, q_tile=8,
-                           num_roles=small_world.num_roles)
+                           num_roles=small_world.num_roles,
+                           scan_group=0)  # exact: parity vs sharded engine
     mesh = make_mesh(4, n_replicas=1)
     multi = ShardedTiledSearcher(
         arena, partition_rows, router, mesh, name="role_rep",

@@ -37,6 +37,9 @@ class Int8FlatIndex:
         group: int = 128,
         rerank: Optional[bool] = None,  # None = auto (rerank iff lossy)
         rerank_margin: int = 32,
+        dist16: bool = True,   # wire distances as bf16 (global path) or
+                               # full f32 (partition tiers feeding a
+                               # cross-partition merge)
     ):
         import jax
 
@@ -51,6 +54,7 @@ class Int8FlatIndex:
         self.group = group
         self.rerank = (not q.lossless) if rerank is None else rerank
         self.rerank_margin = rerank_margin
+        self.dist16 = dist16
 
         if rows is None:
             self.n_rows = arena.n
@@ -144,7 +148,8 @@ class Int8FlatIndex:
             # packed ids); async device->host copy overlaps later batches'
             # compute with this batch's tunnel transfer
             wire = pack_results_device(d[:, :k], i[:, :k],
-                                       id_bits=self._id_bits)
+                                       id_bits=self._id_bits,
+                                       dist16=self.dist16)
             try:
                 wire.copy_to_host_async()
             except (AttributeError, RuntimeError):
@@ -165,7 +170,8 @@ class Int8FlatIndex:
             else:
                 wires = [np.asarray(w) for _, _, w in pending]
             for (s, e, _), w in zip(pending, wires):
-                d, i = unpack_results_host(w, k, id_bits=self._id_bits)
+                d, i = unpack_results_host(w, k, id_bits=self._id_bits,
+                                           dist16=self.dist16)
                 out_d[s:e] = d[: e - s]
                 out_i[s:e] = i[: e - s]
             return out_d, out_i

@@ -201,9 +201,9 @@ def _hi_pack_geometry(k: int, id_bits: int) -> Tuple[int, int, int]:
     return hi_bits, per, -(-k // per)
 
 
-@functools.partial(jax.jit, static_argnames=("id_bits",))
+@functools.partial(jax.jit, static_argnames=("id_bits", "dist16"))
 def pack_results_device(dists: jax.Array, idx: jax.Array,
-                        id_bits: int = 24) -> jax.Array:
+                        id_bits: int = 24, dist16: bool = True) -> jax.Array:
     """(Q, k) f32 dists + (Q, k) i32 ids -> (Q, 2k + ceil(k/per)) uint16.
 
     The wire format for the ~45 MB/s tunnel (the difference between a
@@ -213,13 +213,24 @@ def pack_results_device(dists: jax.Array, idx: jax.Array,
     the ids' high bits nibble-packed `per = 16 // (id_bits-16)` to a uint16
     (id_bits = ceil(log2(n_rows)); 4.5 B/result at 1M rows vs 8 B naive).
     Empty slots travel as dist=+inf, id=0 — the HOST side restores -1 (an
-    id sentinel would collide with a valid row at exact powers of two)."""
+    id sentinel would collide with a valid row at exact powers of two).
+
+    dist16=False sends full f32 distances as two uint16 halves — for the
+    partitioned engines, whose small per-dispatch fetches are round-trip-
+    floor (not bandwidth) bound and whose cross-partition merges must not
+    let bf16 rounding ties reorder results."""
     q, k = idx.shape
     hi_bits, per, n_hi = _hi_pack_geometry(k, id_bits)
     empty = ~jnp.isfinite(dists)
     idc = jnp.where(empty, 0, idx)
-    d16 = jax.lax.bitcast_convert_type(
-        dists.astype(jnp.bfloat16), jnp.uint16)
+    if dist16:
+        d16 = jax.lax.bitcast_convert_type(
+            dists.astype(jnp.bfloat16), jnp.uint16)
+    else:
+        d32 = jax.lax.bitcast_convert_type(dists, jnp.uint32)
+        d16 = jnp.concatenate(
+            [(d32 & 0xFFFF).astype(jnp.uint16),
+             (d32 >> 16).astype(jnp.uint16)], axis=1)      # (Q, 2k)
     lo = (idc & 0xFFFF).astype(jnp.uint16)
     if hi_bits == 0:
         return jnp.concatenate([d16, lo], axis=1)
@@ -235,17 +246,23 @@ def pack_results_device(dists: jax.Array, idx: jax.Array,
     return jnp.concatenate([d16, lo, packed_hi], axis=1)
 
 
-def unpack_results_host(arr, k: int, id_bits: int = 24):
+def unpack_results_host(arr, k: int, id_bits: int = 24, dist16: bool = True):
     """Inverse of pack_results_device on the host (numpy)."""
     import numpy as np
 
     hi_bits, per, n_hi = _hi_pack_geometry(k, id_bits)
     a = np.asarray(arr)
-    # bf16 -> f32: the bf16 bit pattern is the high half of the f32 one
-    d = (a[:, :k].astype(np.uint32) << 16).view(np.float32)
-    idx = a[:, k:2 * k].astype(np.int32)
+    if dist16:
+        # bf16 -> f32: the bf16 bit pattern is the high half of the f32 one
+        d = (a[:, :k].astype(np.uint32) << 16).view(np.float32)
+        off = k
+    else:
+        d = (a[:, :k].astype(np.uint32)
+             | (a[:, k:2 * k].astype(np.uint32) << 16)).view(np.float32)
+        off = 2 * k
+    idx = a[:, off:off + k].astype(np.int32)
     if hi_bits:
-        packed_hi = a[:, 2 * k:2 * k + n_hi]               # (Q, n_hi)
+        packed_hi = a[:, off + k:off + k + n_hi]           # (Q, n_hi)
         reps = np.repeat(packed_hi, per, axis=1)[:, :k]
         shifts = np.tile(np.arange(per, dtype=np.uint16) * hi_bits,
                          n_hi)[:k][None, :]

@@ -143,7 +143,8 @@ def build_dynamic_searcher(
         if arena.quant is not None:
             from ..tiled import TiledSearcher
             searcher = TiledSearcher(arena, partition_rows, router,
-                                     name="dynamic", num_roles=world.num_roles)
+                                     name="dynamic", num_roles=world.num_roles,
+                                     scan_group=cfg.search.scan_group)
             searcher.plan = plan
             return searcher
         from ..packed import PackedSearcher

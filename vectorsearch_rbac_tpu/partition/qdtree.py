@@ -240,6 +240,7 @@ def build_qdtree_searcher(
                 arena, partition_rows,
                 router=lambda uid: vector_router(uid, None), name="qdtree",
                 num_roles=world.num_roles,
+                scan_group=cfg.search.scan_group,
             )
             searcher.vector_router = vector_router
             searcher.tree = tree

@@ -64,7 +64,8 @@ def build_role_searcher(
         if arena.quant is not None:
             from .tiled import TiledSearcher
             return TiledSearcher(arena, partition_rows, router, name="role",
-                                 num_roles=world.num_roles)
+                                 num_roles=world.num_roles,
+                                 scan_group=cfg.search.scan_group)
         from .packed import PackedSearcher
         return PackedSearcher(arena, partition_rows, router, name="role",
                               mode="exact" if cfg.index.kind == "flat" else "approx")
@@ -103,7 +104,8 @@ def build_comb_searcher(
         if arena.quant is not None:
             from .tiled import TiledSearcher
             return TiledSearcher(arena, partition_rows, router, name="user",
-                                 num_roles=world.num_roles)
+                                 num_roles=world.num_roles,
+                                 scan_group=cfg.search.scan_group)
         from .packed import PackedSearcher
         return PackedSearcher(arena, partition_rows, router, name="user",
                               mode="exact" if cfg.index.kind == "flat" else "approx")

@@ -66,6 +66,8 @@ class TiledSearcher:
                                 # partition tier keeps a finer group than
                                 # the 1M global scan (collision recall
                                 # loss ~ C(k,2) / (n_rows/group))
+        scan_group: int = 32,   # chunk-engine epilogue group (0 = exact
+                                # per-chunk top-k; ops/tiled_scan.py)
     ):
         import jax
 
@@ -79,6 +81,7 @@ class TiledSearcher:
         self.name = name
         self.chunk_rows = chunk_rows
         self.q_tile = q_tile
+        self.scan_group = scan_group
         self.timer = StageTimer()
         self._quant = q
 
@@ -93,7 +96,7 @@ class TiledSearcher:
             if -(-len(rows) // chunk_rows) > big_chunks:
                 self._big[pid] = Int8FlatIndex(
                     arena, np.asarray(rows), query_batch=2048,
-                    block_rows=8192, group=big_group)
+                    block_rows=8192, group=big_group, dist16=False)
 
         # chunk 0 is the dummy all-masked chunk (zero role one-hot rows are
         # inadmissible for every query) — padding slots point here
@@ -144,6 +147,7 @@ class TiledSearcher:
         self, queries: np.ndarray, user_ids: np.ndarray,
         user_masks: np.ndarray, k: int,
     ) -> Tuple[np.ndarray, np.ndarray]:
+        import jax
         import jax.numpy as jnp
 
         from ..rbac.world import query_masks_for
@@ -180,8 +184,7 @@ class TiledSearcher:
 
         with self.timer.stage("quantize"):
             q8, qn = q.quantize_queries(queries)
-            m8 = q.quantize_masks(
-                qmasks, self.num_roles if self.num_roles else q.r_pad)
+            mbits = np.ascontiguousarray(qmasks, dtype=np.uint32)
 
         # slots: (pid, query idx list of <= q_tile). To bound XLA compiles
         # (minutes each through a remote tunnel) dispatch shapes are pow2
@@ -200,35 +203,78 @@ class TiledSearcher:
             for s in range(0, len(qidx), qt):
                 buckets.setdefault(cb, []).append((pid, qidx[s:s + qt]))
 
+        from ..ops.pallas_scan_int8 import (
+            expand_masks_device, pack_results_device, unpack_results_host,
+        )
+
+        id_bits = max((self.arena.n_padded - 1).bit_length(), 1)
         results: List[Tuple[List[Tuple[int, List[int]]], object, object]] = []
         with self.timer.stage("device_scan"):
             pending = []
             for cb, all_slots in sorted(buckets.items()):
                 for g0 in range(0, len(all_slots), _SLOTS_PER_DISPATCH):
-                    slots = all_slots[g0:g0 + _SLOTS_PER_DISPATCH]
-                    s_pad = (_SLOTS_PER_DISPATCH
-                             if len(all_slots) >= _SLOTS_PER_DISPATCH
-                             else _pow2(len(slots)))
-                    q8P = np.zeros((s_pad * qt, q8.shape[1]), dtype=np.int8)
-                    qnP = np.zeros(s_pad * qt, dtype=np.int32)
-                    m8P = np.zeros((s_pad * qt, m8.shape[1]), dtype=np.int8)
-                    cidP = np.zeros((s_pad, cb), dtype=np.int32)   # 0 = dummy
-                    for si, (pid, qidx) in enumerate(slots):
-                        base = si * qt
-                        q8P[base:base + len(qidx)] = q8[qidx]
-                        qnP[base:base + len(qidx)] = qn[qidx]
-                        m8P[base:base + len(qidx)] = m8[qidx]
-                        cids = self.part_chunks[pid]
-                        cidP[si, :len(cids)] = cids
-                    d, i = tiled_bucket_topk(
-                        jnp.asarray(q8P), jnp.asarray(qnP), jnp.asarray(m8P),
-                        jnp.asarray(cidP), self._vecC, self._normC,
-                        self._roleC, self._rowC,
-                        jnp.float32(1.0 / q.scale**2), k, cb, qt,
-                    )
-                    pending.append((slots, d, i))
-            for slots, d, i in pending:
-                results.append((slots, np.asarray(d), np.asarray(i)))
+                    with self.timer.stage("scan_pack_host"):
+                        slots = all_slots[g0:g0 + _SLOTS_PER_DISPATCH]
+                        s_pad = (_SLOTS_PER_DISPATCH
+                                 if len(all_slots) >= _SLOTS_PER_DISPATCH
+                                 else _pow2(len(slots)))
+                        # ONE host->device buffer per dispatch: int8 queries
+                        # + int32 query norms + uint32 mask bitsets, viewed
+                        # as int8 columns (per-upload round trips at the
+                        # ~45 MB/s tunnel otherwise dominate the pass);
+                        # masks expand to one-hot on device
+                        w = mbits.shape[1]
+                        dcols = q8.shape[1]
+                        packP = np.zeros((s_pad * qt, dcols + 4 + 4 * w),
+                                         dtype=np.int8)
+                        cidP = np.zeros((s_pad, cb), dtype=np.int32)  # 0=dummy
+                        for si, (pid, qidx) in enumerate(slots):
+                            base = si * qt
+                            packP[base:base + len(qidx), :dcols] = q8[qidx]
+                            packP[base:base + len(qidx),
+                                  dcols:dcols + 4] = (
+                                qn[qidx].view(np.int8).reshape(-1, 4))
+                            packP[base:base + len(qidx), dcols + 4:] = (
+                                mbits[qidx].view(np.int8).reshape(-1, 4 * w))
+                            cids = self.part_chunks[pid]
+                            cidP[si, :len(cids)] = cids
+                    with self.timer.stage("scan_enqueue"):
+                        buf = jnp.asarray(packP)
+                        q8D = buf[:, :dcols]
+                        qnD = jax.lax.bitcast_convert_type(
+                            buf[:, dcols:dcols + 4].reshape(-1, 1, 4),
+                            jnp.int32).reshape(-1)
+                        mbD = jax.lax.bitcast_convert_type(
+                            buf[:, dcols + 4:].reshape(-1, w, 4),
+                            jnp.uint32)
+                        m8D = expand_masks_device(mbD, q.r_pad)
+                        d, i = tiled_bucket_topk(
+                            q8D, qnD, m8D,
+                            jnp.asarray(cidP), self._vecC, self._normC,
+                            self._roleC, self._rowC,
+                            jnp.float32(1.0 / q.scale**2), k, cb, qt,
+                            scan_group=self.scan_group,
+                        )
+                        wire = pack_results_device(d, i, id_bits=id_bits,
+                                                   dist16=False)
+                        try:
+                            wire.copy_to_host_async()
+                        except (AttributeError, RuntimeError):
+                            pass
+                        pending.append((slots, wire))
+            with self.timer.stage("scan_fetch"):
+                if len(pending) > 1:
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(min(len(pending), 4)) as pool:
+                        wires = list(pool.map(
+                            np.asarray, [wr for _, wr in pending]))
+                else:
+                    wires = [np.asarray(wr) for _, wr in pending]
+                for (slots, _), wr in zip(pending, wires):
+                    d, i = unpack_results_host(wr, k, id_bits=id_bits,
+                                               dist16=False)
+                    results.append((slots, d, i))
 
         with self.timer.stage("merge"):
             out_d = np.full((nq, k), np.inf)

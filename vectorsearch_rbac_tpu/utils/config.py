@@ -28,6 +28,9 @@ class SearchConfig:
     block_rows: int = 16384      # arena rows per scan block
     dtype: str = "float32"       # compute dtype for distance scans
     recall_target: float = 0.95  # per-block PartialReduce target (approx scans)
+    scan_group: int = 32         # tiled chunk engine epilogue: packed
+                                 # group-min width (0 = exact per-chunk
+                                 # top-k; see ops/tiled_scan.py)
 
 
 @dataclass
