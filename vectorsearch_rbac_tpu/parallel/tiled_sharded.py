@@ -84,6 +84,8 @@ class ShardedTiledSearcher:
         partition_weights: Optional[Dict[int, float]] = None,
         replicate: Sequence[int] = (),
         slots_per_dispatch: int = 16,
+        scan_group: int = 0,   # packed group-min epilogue (0 = exact);
+                               # same contract as partition/tiled.py
     ):
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -98,6 +100,7 @@ class ShardedTiledSearcher:
         self.name = name
         self.chunk_rows = chunk_rows
         self.q_tile = q_tile
+        self.scan_group = scan_group
         self.num_roles = num_roles
         self.slots_per_dispatch = slots_per_dispatch
         self.timer = StageTimer()
@@ -173,7 +176,7 @@ class ShardedTiledSearcher:
             top, idx = tiled_scan_core(
                 q8b[0].reshape(s, qt, d), m8b[0].reshape(s, qt, -1),
                 cid[0], vecC[0], normC[0], roleC[0], rowC[0],
-                k=k, chunks=cb,
+                k=k, chunks=cb, scan_group=self.scan_group,
             )
             return top[None], idx[None]
 

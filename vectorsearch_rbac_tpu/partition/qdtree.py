@@ -55,9 +55,16 @@ class QDTree:
             return pickle.load(f)
 
     def route(self, accessible: Set[int], qvec: Optional[np.ndarray],
-              prune_by_centroid: bool = True) -> List[int]:
+              prune_by_centroid: bool = True,
+              prune_margin: float = 0.25) -> List[int]:
         """Leaves reachable for a user with `accessible` docs, pruned along
-        centroid predicates by the query vector's side."""
+        centroid predicates by the query vector's side.
+
+        prune_margin: a query whose two centroid distances are within
+        `margin * (dl + dr)` of each other descends BOTH sides — strict
+        nearer-side pruning (margin 0) loses the true neighbor whenever it
+        sits just across the boundary (measured recall@10 0.824 at 1M;
+        margin 0.25 restores >=0.95 while still pruning far subtrees)."""
         out: List[int] = []
 
         def walk(node: QDNode):
@@ -70,8 +77,9 @@ class QDTree:
                 _, lc, rc = node.pred
                 dl = float(((qvec - lc) ** 2).sum())
                 dr = float(((qvec - rc) ** 2).sum())
-                walk(node.left if dl <= dr else node.right)
-                return
+                if abs(dl - dr) > prune_margin * (dl + dr):
+                    walk(node.left if dl <= dr else node.right)
+                    return
             walk(node.left)
             walk(node.right)
 
@@ -205,6 +213,7 @@ def build_qdtree_searcher(
     prune_by_centroid: bool = True,   # HQI routes one side at centroid
                                       # predicates (reference
                                       # qd_tree_search_statistics_sql)
+    prune_margin: float = 0.25,       # both-sides margin (QDTree.route)
     tree: Optional[QDTree] = None,
     packed: bool = True,
 ) -> PartitionedSearcher:
@@ -230,7 +239,8 @@ def build_qdtree_searcher(
     def vector_router(uid: int, qvec: Optional[np.ndarray]):
         if uid not in user_docs_cache:
             user_docs_cache[uid] = set(world.user_docs(uid))
-        pids = tree.route(user_docs_cache[uid], qvec, prune_by_centroid)
+        pids = tree.route(user_docs_cache[uid], qvec, prune_by_centroid,
+                          prune_margin=prune_margin)
         return tuple(p for p in pids if p in partition_rows)
 
     if packed and cfg.index.kind in ("flat", "flat_approx"):
