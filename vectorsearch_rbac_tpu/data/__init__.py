@@ -5,6 +5,12 @@ from .datasets import (
     load_sift10m,
     resolve_dataset,
 )
+from .embedding import (
+    Embedder,
+    HashingEmbedder,
+    TransformersEmbedder,
+    ingest_text_corpus,
+)
 
 __all__ = [
     "synthetic_corpus",
@@ -12,4 +18,8 @@ __all__ = [
     "load_sift_hdf5",
     "load_sift10m",
     "resolve_dataset",
+    "Embedder",
+    "HashingEmbedder",
+    "TransformersEmbedder",
+    "ingest_text_corpus",
 ]
