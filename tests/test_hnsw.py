@@ -216,3 +216,75 @@ def test_sampled_entry_search(small_world, small_corpus):
 
     assert rec(i2) >= rec(i1) - 0.05, (rec(i2), rec(i1))
     assert rec(i2) > 0.8
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_acorn_dense_build_contract():
+    """ACORN-gamma build-side densification (native.hnsw_build_acorn,
+    reference acorn_benchmark/src/index_creation.cpp:105): layer-0 lists
+    carry a navigable heuristic core plus nearest pruned fill. Asserted
+    contract: requested density, unfiltered navigability preserved, and
+    filtered (2-hop harvest) recall in the same band as the classic build.
+
+    Measured A/B (PERF.md): on clustered SIFT at 8% selectivity the
+    2-hop-harvest search over the CLASSIC graph already dominates
+    (0.897 vs 0.841 recall@10) — the harvest supplies admissible coverage
+    without paying dense-list beam dilution, so the classic builder stays
+    the default and the dense builder remains available via
+    cfg.index.hnsw_m_beta for admissible-only traversal regimes."""
+    import jax.numpy as jnp
+
+    from vectorsearch_rbac_tpu.data import sift_like_corpus
+    from vectorsearch_rbac_tpu.ops.graph_search import (
+        graph_search_fn, graph_search_filtered_fn)
+
+    corpus, qpool = sift_like_corpus(num_vectors=8192, blocks_per_doc=1,
+                                     dim=32, seed=5)
+    vec = corpus.vectors.astype(np.float32)
+    n = len(vec)
+    rng = np.random.default_rng(11)
+    adm = rng.random(n) < 0.08
+    bits = np.zeros((n, 1), dtype=np.uint32)
+    bits[adm, 0] = 1
+
+    nbr_c, _, ent_c, _ = native.hnsw_build(vec, m=8, ef_construction=48,
+                                           seed=0)
+    nbr_a, _, ent_a, _ = native.hnsw_build_acorn(vec, m=8, m_beta=48,
+                                                 ef_construction=48, seed=0)
+    assert nbr_a.shape[1] == 48
+    # dense graph really is denser
+    assert (nbr_a >= 0).sum() > 1.5 * (nbr_c >= 0).sum()
+
+    nq, k = 32, 10
+    q = qpool[rng.choice(len(qpool), nq, replace=False)].astype(np.float32)
+    masks = np.ones((nq, 1), dtype=np.uint32)
+    norms = np.einsum("nd,nd->n", vec, vec).astype(np.float32)
+    d2 = norms[None, :] - 2 * q @ vec.T
+    d2[:, ~adm] = np.inf
+    truth = np.argsort(d2, axis=1, kind="stable")[:, :k]
+
+    def recall(fn, nbr, ent):
+        _, ids = fn(
+            jnp.asarray(q), jnp.asarray(vec), jnp.asarray(norms),
+            jnp.asarray(bits), jnp.asarray(nbr), jnp.asarray(masks),
+            int(ent), k, 48)
+        ids = np.asarray(ids)
+        return sum(
+            len(set(ids[i][ids[i] >= 0].tolist()) & set(truth[i].tolist()))
+            for i in range(nq)) / (nq * k)
+
+    r_c2 = recall(graph_search_filtered_fn, nbr_c, ent_c)
+    r_a2 = recall(graph_search_filtered_fn, nbr_a, ent_a)
+    assert r_a2 > 0.75 and r_c2 > 0.75, (r_a2, r_c2)
+    assert abs(r_a2 - r_c2) < 0.15, (r_a2, r_c2)
+    # unfiltered navigability preserved on the dense graph (top-1 found)
+    ones = np.ones((n, 1), dtype=np.uint32)
+    _, ids_all = graph_search_fn(
+        jnp.asarray(q), jnp.asarray(vec), jnp.asarray(norms),
+        jnp.asarray(ones), jnp.asarray(nbr_a), jnp.asarray(masks),
+        int(ent_a), k, 48)
+    d_all = norms[None, :] - 2 * q @ vec.T
+    t1 = np.argmin(d_all, axis=1)
+    hit = np.mean([t1[i] in set(np.asarray(ids_all)[i].tolist())
+                   for i in range(nq)])
+    assert hit >= 0.85, hit

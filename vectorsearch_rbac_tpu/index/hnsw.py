@@ -220,6 +220,7 @@ class HNSWIndex:
         builder: str = "auto",
         knn_k: int = 32,
         alpha: float = 1.2,
+        m_beta: int = 64,    # dense layer-0 width for builder="acorn"
         seed: int = 0,
         graph_state: Optional[dict] = None,  # from .graph_state(): skip build
     ):
@@ -267,6 +268,17 @@ class HNSWIndex:
                 )
             else:
                 nbr, entry = _python_fallback_graph(vec, m, seed)
+        elif builder == "acorn":
+            # ACORN-gamma build-side densification (reference
+            # acorn_benchmark/src/index_creation.cpp:105): dense layer-0
+            # lists keep admissible edges under predicate filtering —
+            # pair with filtered_traversal / iterative search
+            if not native.available():
+                raise RuntimeError("acorn builder needs the native library")
+            nbr, levels, entry, _ = native.hnsw_build_acorn(
+                vec, m=m, m_beta=m_beta,
+                ef_construction=ef_construction, seed=seed
+            )
         elif builder == "tpu":
             if not native.available():
                 raise RuntimeError("tpu builder needs the native prune library")

@@ -55,6 +55,11 @@ def _load() -> Optional[ctypes.CDLL]:
         f32p, ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_uint64, i32p, i32p, i32p,
     ]
+    lib.vsr_hnsw_build_acorn.restype = ctypes.c_int
+    lib.vsr_hnsw_build_acorn.argtypes = [
+        f32p, ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_uint64, i32p, i32p, i32p,
+    ]
     lib.vsr_rng_prune.restype = ctypes.c_int
     lib.vsr_rng_prune.argtypes = [
         f32p, ctypes.c_int64, ctypes.c_int, i32p, ctypes.c_int,
@@ -100,6 +105,34 @@ def hnsw_build(
     )
     if max_level < 0:
         raise RuntimeError("vsr_hnsw_build failed")
+    return nbr, levels, int(entry[0]), int(max_level)
+
+
+def hnsw_build_acorn(
+    vectors: np.ndarray, m: int = 16, m_beta: int = 64,
+    ef_construction: int = 64, seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray, int, int]:
+    """ACORN-gamma densified HNSW build (reference acorn_benchmark/src/
+    index_creation.cpp:105 gamma=12, M_beta=64): layer-0 lists hold a
+    heuristic-selected navigable core of m edges plus the nearest pruned
+    candidates up to m_beta — predicate-filtered traversal then keeps
+    admissible edges even at low selectivity. Returns (neighbors0
+    (n, m_beta) int32, levels (n,), entry_point, max_level)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    vec = np.ascontiguousarray(vectors, dtype=np.float32)
+    n, d = vec.shape
+    m_beta = max(m_beta, 2 * m)
+    nbr = np.full((n, m_beta), -1, dtype=np.int32)
+    levels = np.zeros(n, dtype=np.int32)
+    entry = np.zeros(1, dtype=np.int32)
+    max_level = lib.vsr_hnsw_build_acorn(
+        _f32p(vec), n, d, m, m_beta, ef_construction, seed,
+        _i32p(nbr), _i32p(levels), _i32p(entry),
+    )
+    if max_level < 0:
+        raise RuntimeError("vsr_hnsw_build_acorn failed")
     return nbr, levels, int(entry[0]), int(max_level)
 
 

@@ -68,7 +68,8 @@ struct Graph {
   int64_t n;
   int d;
   int M;          // degree cap above layer 0
-  int M0;         // degree cap at layer 0 (2*M)
+  int M0;         // degree cap at layer 0 (2*M; M_beta when dense)
+  bool dense = false;  // ACORN-gamma layer-0 selection (see below)
   const float* vecs;
   std::vector<int32_t> levels;          // level per node
   std::vector<int32_t> nbr0;            // (n, M0)
@@ -141,6 +142,41 @@ void select_neighbors(const Graph& g, const std::vector<Cand>& cands, int M,
   }
 }
 
+// ACORN-gamma style dense selection (reference acorn_benchmark/src/
+// index_creation.cpp:105 gamma=12, M_beta=64): the heuristic keeps a
+// navigable core of M edges, then the nearest PRUNED candidates fill the
+// list up to cap_total. Predicate-filtered search discards inadmissible
+// neighbors, so the denser list keeps enough admissible edges for the
+// traversal to make progress at low selectivity.
+void select_neighbors_dense(const Graph& g, const std::vector<Cand>& cands,
+                            int M, int cap_total, std::vector<Cand>& out) {
+  out.clear();
+  std::vector<Cand> pruned;
+  for (const Cand& c : cands) {
+    if ((int)out.size() >= cap_total) break;
+    bool ok = true;
+    const float* cv = g.vecs + (int64_t)c.id * g.d;
+    if ((int)out.size() < M) {
+      for (const Cand& s : out) {
+        float d_cs = l2sq(cv, g.vecs + (int64_t)s.id * g.d, g.d);
+        if (d_cs < c.dist) {
+          ok = false;
+          break;
+        }
+      }
+    }
+    if (ok && (int)out.size() < M) {
+      out.push_back(c);
+    } else {
+      pruned.push_back(c);
+    }
+  }
+  for (const Cand& c : pruned) {
+    if ((int)out.size() >= cap_total) break;
+    out.push_back(c);
+  }
+}
+
 void link(Graph& g, int32_t a, int level, const std::vector<Cand>& sel,
           std::vector<Cand>& scratch, std::vector<Cand>& scratch2) {
   int32_t* nb = g.neighbors(a, level);
@@ -169,7 +205,11 @@ void link(Graph& g, int32_t a, int level, const std::vector<Cand>& sel,
     }
     std::sort(scratch.begin(), scratch.end(),
               [](const Cand& x, const Cand& y) { return x.dist < y.dist; });
-    select_neighbors(g, scratch, cap, scratch2);
+    if (g.dense && level == 0) {
+      select_neighbors_dense(g, scratch, g.M, cap, scratch2);
+    } else {
+      select_neighbors(g, scratch, cap, scratch2);
+    }
     int t = 0;
     for (; t < (int)scratch2.size(); ++t) bn[t] = scratch2[t].id;
     for (; t < cap; ++t) bn[t] = -1;
@@ -178,22 +218,19 @@ void link(Graph& g, int32_t a, int level, const std::vector<Cand>& sel,
 
 }  // namespace
 
-extern "C" {
-
-// Build a full HNSW graph. Outputs:
-//   neighbors0: int32 (n, 2*M) layer-0 adjacency, -1 padded
-//   levels:     int32 (n,)
-//   entry:      int32 (1,) entry point node id
-// Returns max level, or -1 on error.
-int vsr_hnsw_build(const float* vecs, int64_t n, int d, int M,
-                   int ef_construction, uint64_t seed, int32_t* neighbors0,
-                   int32_t* levels_out, int32_t* entry_out) {
-  if (n <= 0 || d <= 0 || M < 2) return -1;
+// Shared construction body. m_beta > 2*M turns on ACORN-gamma dense
+// layer-0 lists (layer-0 adjacency then has m_beta columns).
+static int hnsw_build_impl(const float* vecs, int64_t n, int d, int M,
+                           int m_beta, int ef_construction, uint64_t seed,
+                           int32_t* neighbors0, int32_t* levels_out,
+                           int32_t* entry_out) {
+  if (n <= 0 || d <= 0 || M < 2 || m_beta < 2 * M) return -1;
   Graph g;
   g.n = n;
   g.d = d;
   g.M = M;
-  g.M0 = 2 * M;
+  g.M0 = m_beta;
+  g.dense = m_beta > 2 * M;
   g.vecs = vecs;
   g.levels.assign(n, 0);
   g.nbr0.assign((int64_t)n * g.M0, -1);
@@ -247,8 +284,12 @@ int vsr_hnsw_build(const float* vecs, int64_t n, int d, int M,
       ++stamp;
       search_layer(g, q, ep, ep_dist, l, ef_construction, visit_stamp, stamp,
                    found);
-      select_neighbors(g, found, g.cap(l) < g.M ? g.M : g.M, sel);
-      if ((int)sel.size() > g.M && l > 0) sel.resize(g.M);
+      if (g.dense && l == 0) {
+        select_neighbors_dense(g, found, g.M, g.M0, sel);
+      } else {
+        select_neighbors(g, found, g.M, sel);
+        if ((int)sel.size() > g.M && l > 0) sel.resize(g.M);
+      }
       link(g, (int32_t)i, l, sel, scratch, scratch2);
       if (!found.empty()) {
         ep = found[0].id;
@@ -266,6 +307,33 @@ int vsr_hnsw_build(const float* vecs, int64_t n, int d, int M,
   std::memcpy(levels_out, g.levels.data(), sizeof(int32_t) * (size_t)n);
   *entry_out = g.entry;
   return g.max_level;
+}
+
+extern "C" {
+
+// Build a full HNSW graph. Outputs:
+//   neighbors0: int32 (n, 2*M) layer-0 adjacency, -1 padded
+//   levels:     int32 (n,)
+//   entry:      int32 (1,) entry point node id
+// Returns max level, or -1 on error.
+int vsr_hnsw_build(const float* vecs, int64_t n, int d, int M,
+                   int ef_construction, uint64_t seed, int32_t* neighbors0,
+                   int32_t* levels_out, int32_t* entry_out) {
+  return hnsw_build_impl(vecs, n, d, M, 2 * M, ef_construction, seed,
+                         neighbors0, levels_out, entry_out);
+}
+
+// ACORN-gamma densified build (reference acorn_benchmark/src/
+// index_creation.cpp:105): layer-0 lists have m_beta columns — a
+// heuristic-selected navigable core of M edges plus the nearest pruned
+// candidates — so predicate-filtered traversal keeps admissible edges
+// at low selectivity. neighbors0 must be int32 (n, m_beta).
+int vsr_hnsw_build_acorn(const float* vecs, int64_t n, int d, int M,
+                         int m_beta, int ef_construction, uint64_t seed,
+                         int32_t* neighbors0, int32_t* levels_out,
+                         int32_t* entry_out) {
+  return hnsw_build_impl(vecs, n, d, M, m_beta, ef_construction, seed,
+                         neighbors0, levels_out, entry_out);
 }
 
 // Alpha-RNG prune of a device-computed kNN graph (Vamana/DiskANN-style):

@@ -76,6 +76,8 @@ def make_partition_index(
             ef_construction=cfg.index.hnsw_ef_construction,
             ef_search=cfg.search.ef_search,
             query_batch=cfg.search.batch_size,
+            builder="acorn" if cfg.index.hnsw_m_beta else "auto",
+            m_beta=cfg.index.hnsw_m_beta or 64,
         )
     raise ValueError(f"unknown index kind {kind}")
 

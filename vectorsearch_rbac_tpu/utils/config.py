@@ -41,6 +41,9 @@ class IndexConfig:
     kind: str = "flat"           # flat | flat_approx | ivf | hnsw | hybrid
     hnsw_m: int = 16
     hnsw_ef_construction: int = 64
+    hnsw_m_beta: int = 0         # > 0: ACORN-gamma dense layer-0 lists of
+                                 # this width (reference index_creation.cpp
+                                 # gamma=12 M_beta=64) for filtered search
     ivf_nlist: int = 1024
     ivf_kmeans_iters: int = 10
     # hybrid (dynamic partitions): a partition serves from an HNSW graph
