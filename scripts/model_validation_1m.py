@@ -33,7 +33,8 @@ queries = qpool[rng.choice(len(qpool), 256, replace=False)].astype(np.float32)
 
 out = multi_parameter_validation(
     corpus, world, SELS, SIZES, EFS, TOPK, queries, arena=arena,
-    index_kind="hnsw", fit_cell=len(SELS) // 2, fit_offset=True,
+    index_kind="hnsw", fit_offset=True, fit_mode="joint",
+    builder="classic",   # one graph-quality regime across all sizes
     timing_reps=2,
 )
 out["corpus"] = f"clustered sift-like {N} x {corpus.dim}"

@@ -109,3 +109,46 @@ def test_multi_parameter_validation_small(small_corpus):
     assert len(out["cells"]) == 4
     assert out["recall_mae"] < 0.15, out["recall_mae"]
     assert np.isfinite(out["time_mape"])
+
+
+def test_joint_fit_recovers_n_scaling():
+    """fit_recall_params_joint recovers gamma_n from synthetic curves whose
+    ef-for-recall scales as n^0.5, where the n-free family cannot."""
+    import numpy as np
+
+    from vectorsearch_rbac_tpu.models.cost import CostModelParams, RecallModel
+    from vectorsearch_rbac_tpu.models.fitting import fit_recall_params_joint
+
+    true = CostModelParams(k=0.95, beta=0.8, ef_offset=0.0,
+                           n_ref=50_000, gamma_n=0.5)
+    rm = RecallModel(true)
+    topk = 10
+    pts = []
+    for n in (12_500, 25_000, 50_000, 100_000, 200_000):
+        for sel in (0.1, 0.5, 1.0):
+            for ef in (16, 32, 64, 128, 256):
+                pts.append((ef, sel, n, rm.recall(ef, topk, sel, n=n)))
+    fitted = fit_recall_params_joint(pts, topk)
+    assert abs(fitted.gamma_n - 0.5) < 0.15, fitted.gamma_n
+    rf = RecallModel(fitted)
+    errs = [abs(rf.recall(ef, topk, sel, n=n) - r)
+            for ef, sel, n, r in pts]
+    assert float(np.mean(errs)) < 0.02, np.mean(errs)
+
+
+def test_ef_for_recall_n_scaling_inverts():
+    from vectorsearch_rbac_tpu.models.cost import (
+        CostModelParams, RecallModel, ef_for_recall,
+    )
+
+    p = CostModelParams(k=0.95, beta=0.6, n_ref=50_000, gamma_n=0.7)
+    rm = RecallModel(p)
+    for n in (10_000, 50_000, 400_000):
+        for target in (0.9, 0.97):
+            ef = ef_for_recall(target, 10, 0.5, p, n=n)
+            got = rm.recall(ef, 10, 0.5, n=n)
+            assert abs(got - target) < 0.02, (n, target, ef, got)
+    # bigger index needs a bigger ef for the same target
+    e1 = ef_for_recall(0.97, 10, 0.5, p, n=10_000)
+    e2 = ef_for_recall(0.97, 10, 0.5, p, n=400_000)
+    assert e2 > 2 * e1

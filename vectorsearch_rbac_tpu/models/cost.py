@@ -47,29 +47,47 @@ class CostModelParams:
     b: float = 183157.0
     join_time: float = 0.0
     ef_offset: float = 0.0
+    # n-scaling extension (absent from the reference's n-free family):
+    # measured recall at fixed (ef, sel) degrades with index size for the
+    # TPU engines (results/model_validation.json), so the model evaluates
+    # at ef_eff = (ef - ef_offset) * (n_ref / n)^gamma_n. gamma_n = 0
+    # recovers the reference model exactly.
+    n_ref: float = 0.0
+    gamma_n: float = 0.0
 
     def to_dict(self) -> Dict[str, float]:
         return {"k": self.k, "beta": self.beta, "a": self.a, "b": self.b,
-                "join_times": self.join_time, "ef_offset": self.ef_offset}
+                "join_times": self.join_time, "ef_offset": self.ef_offset,
+                "n_ref": self.n_ref, "gamma_n": self.gamma_n}
 
     @classmethod
     def from_dict(cls, d: Mapping[str, float]) -> "CostModelParams":
         return cls(k=d.get("k", 1.0), beta=d.get("beta", 0.4424),
                    a=d.get("a", 550.97), b=d.get("b", 183157.0),
                    join_time=d.get("join_times", d.get("join_time", 0.0)),
-                   ef_offset=d.get("ef_offset", 0.0))
+                   ef_offset=d.get("ef_offset", 0.0),
+                   n_ref=d.get("n_ref", 0.0), gamma_n=d.get("gamma_n", 0.0))
+
+    def n_scale(self, n: float) -> float:
+        """ef multiplier turning a model-domain ef into the ef an index of
+        n rows needs (1.0 when the n-extension is off)."""
+        if self.gamma_n and self.n_ref > 1 and n > 1:
+            return (n / self.n_ref) ** self.gamma_n
+        return 1.0
 
 
 class RecallModel:
     def __init__(self, params: CostModelParams):
         self.p = params
 
-    def recall(self, ef: float, topk: int, sel: float) -> float:
-        """Predicted recall for one (sub)query with selectivity `sel`."""
+    def recall(self, ef: float, topk: int, sel: float,
+               n: float = 0.0) -> float:
+        """Predicted recall for one (sub)query with selectivity `sel` over
+        an index of n rows (n=0: reference n-free behavior)."""
         if sel <= 0:
             return 0.0
         k, beta = self.p.k, self.p.beta
-        ef = max(ef - self.p.ef_offset, 0.0)
+        ef = max(ef - self.p.ef_offset, 0.0) / self.p.n_scale(n)
         threshold = k * topk / sel
         if ef <= threshold:
             r = ef * sel / topk
@@ -83,9 +101,11 @@ class RecallModel:
 
 
 def ef_for_recall(
-    target_recall: Optional[float], topk: int, sel: float, params: CostModelParams
+    target_recall: Optional[float], topk: int, sel: float,
+    params: CostModelParams, n: float = 0.0,
 ) -> float:
-    """Invert the sigmoid branch: ef needed to reach `target_recall`.
+    """Invert the sigmoid branch: ef needed to reach `target_recall` on an
+    index of n rows (n=0: reference n-free behavior).
 
     With target_recall=None, aim as high as the curve allows (the
     reference's dynamic_value loop, AnonySys_dynamic_partition.py:136-143:
@@ -93,10 +113,11 @@ def ef_for_recall(
     """
     k, beta = params.k, params.beta
     safe_sel = max(sel, 1e-6)
+    scale = params.n_scale(n)
     if target_recall is not None and target_recall <= k:
         # below the knee the model is the linear ramp: invert it directly
         # (the sigmoid inversion is only valid above recall = k)
-        return target_recall * topk / safe_sel + params.ef_offset
+        return (target_recall * topk / safe_sel) * scale + params.ef_offset
     if target_recall is None:
         x = 3
         while (1 + x / 10) - k >= 1:
@@ -110,8 +131,9 @@ def ef_for_recall(
     if inner <= 0:
         inner = 1e-6
     safe_beta = beta if abs(beta) > 1e-6 else 1e-6
-    return (math.log(inner) / (-4.0 * safe_beta * safe_sel) * topk
-            + k * topk / safe_sel + params.ef_offset)
+    base = (math.log(inner) / (-4.0 * safe_beta * safe_sel) * topk
+            + k * topk / safe_sel)
+    return base * scale + params.ef_offset
 
 
 class QueryTimeModel:

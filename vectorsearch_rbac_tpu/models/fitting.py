@@ -80,6 +80,62 @@ def fit_recall_params(
         return best[:3] if fit_offset else best[:2]
 
 
+def fit_recall_params_joint(
+    points: Sequence[Tuple[float, float, float, float]],  # (ef, sel, n, r)
+    topk: int,
+    fit_offset: bool = True,
+    fit_nscale: bool = True,
+) -> CostModelParams:
+    """Joint fit of (k, beta, ef_offset, gamma_n) across a (n, sel, ef)
+    grid — the n-scaling extension the TPU engines need (measured recall
+    at fixed ef degrades with index size; results/model_validation.json).
+    n_ref is pinned to the geometric mean of the sizes. Returns a
+    CostModelParams with only the recall-side fields set."""
+    pts = np.asarray(points, dtype=np.float64)
+    efs, sels, ns, recalls = pts[:, 0], pts[:, 1], pts[:, 2], pts[:, 3]
+    n_ref = float(np.exp(np.mean(np.log(np.maximum(np.unique(ns), 2.0)))))
+
+    def _piecewise_vec(ef, sel, n, k, beta, ef0, gn, n_ref_, topk_):
+        scale = np.power(np.maximum(n, 2.0) / n_ref_, gn)
+        ef_eff = np.maximum(ef - ef0, 0.0) / np.maximum(scale, 1e-9)
+        threshold = k * topk_ / np.maximum(sel, 1e-9)
+        lin = ef_eff * sel / topk_
+        expo = np.clip(-4.0 * beta * sel / topk_ * (ef_eff - threshold),
+                       -60, 60)
+        sig = 1.0 / (1.0 + np.exp(expo)) + (k - 0.5)
+        return np.minimum(np.where(ef_eff <= threshold, lin, sig), 1.0)
+
+    lo_ef0 = -float(np.max(efs)) if fit_offset else -1e-9
+    hi_ef0 = float(np.max(efs)) / 2 if fit_offset else 1e-9
+    hi_gn = 3.0 if fit_nscale else 1e-9
+    try:
+        from scipy.optimize import curve_fit
+
+        (k, beta, ef0, gn), _ = curve_fit(
+            lambda x, k, beta, ef0, gn: _piecewise_vec(
+                x[0], x[1], x[2], k, beta, ef0, gn, n_ref, float(topk)),
+            np.stack([efs, sels, ns]), recalls,
+            p0=[0.95, 0.4, 0.0, 0.5 if fit_nscale else 0.0],
+            bounds=([0.5, 1e-3, lo_ef0, 0.0], [1.0, 10.0, hi_ef0, hi_gn]),
+            maxfev=40000,
+        )
+    except Exception:
+        best = (0.95, 0.4, 0.0, 0.0, np.inf)
+        for gn in np.linspace(0.0, hi_gn if fit_nscale else 0.0, 13):
+            for ef0 in np.linspace(lo_ef0, hi_ef0, 9):
+                for k in np.linspace(0.5, 1.0, 11):
+                    for beta in np.geomspace(1e-3, 10, 25):
+                        err = float(np.mean((_piecewise_vec(
+                            efs, sels, ns, k, beta, ef0, gn, n_ref,
+                            float(topk)) - recalls) ** 2))
+                        if err < best[4]:
+                            best = (k, beta, ef0, gn, err)
+        k, beta, ef0, gn = best[:4]
+    return CostModelParams(k=float(k), beta=float(beta),
+                           ef_offset=float(ef0), n_ref=n_ref,
+                           gamma_n=float(gn))
+
+
 def fit_qps_params(
     n_vectors: Sequence[float],
     efs: Sequence[float],

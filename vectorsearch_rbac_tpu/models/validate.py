@@ -18,7 +18,7 @@ import numpy as np
 
 from ..bench.ground_truth import compute_recall
 from .cost import CostModelParams, QueryTimeModel, RecallModel
-from .fitting import fit_qps_params, fit_recall_params
+from .fitting import fit_qps_params, fit_recall_params, fit_recall_params_joint
 
 SearchFn = Callable[[np.ndarray, np.ndarray, int, int], Tuple[np.ndarray, np.ndarray]]
 # (queries, masks, k, ef) -> (dists, ids)
@@ -95,16 +95,24 @@ def multi_parameter_validation(
     queries: np.ndarray,
     arena=None,
     index_kind: str = "hnsw",
-    fit_cell: int = 0,          # (size, sel) cell the params are fitted on
+    fit_cell: int = 0,          # cell for fit_mode="cell"
     fit_offset: bool = True,
+    fit_mode: str = "joint",    # "joint": fit (k, beta, ef_offset,
+                                # gamma_n) across the WHOLE grid (the
+                                # n-scaling family the TPU engines need);
+                                # "cell": reference-style single-cell fit
+    builder: str = "classic",   # ONE builder for every size — "auto"
+                                # switches engines at 50k rows and a single
+                                # model family cannot span two graph-
+                                # quality regimes
     seed: int = 0,
     timing_reps: int = 2,
 ) -> Dict[str, object]:
     """Grid validation (reference multi_parameter_model_validation.py):
     build one index per size (a random row subset), sweep ef at every
-    selectivity, fit (k, beta[, ef_offset]) on ONE cell and (a, b) jointly
-    across ALL sizes, then report recall MAE / time MAPE per cell and
-    aggregate. Returns a JSON-able dict."""
+    selectivity, fit the recall family and (a, b) jointly across ALL
+    sizes, then report recall MAE / time MAPE per cell and aggregate.
+    Returns a JSON-able dict."""
     from ..core import build_device_arena
     from ..index.hnsw import HNSWIndex
     from ..index.ivf import IVFIndex
@@ -121,7 +129,8 @@ def multi_parameter_validation(
         rows = np.sort(rng.choice(corpus.n, size, replace=False))
         if index_kind == "hnsw":
             idx = HNSWIndex(arena, rows=rows, m=16, ef_construction=64,
-                            query_batch=min(1024, len(queries)), seed=seed)
+                            query_batch=min(1024, len(queries)), seed=seed,
+                            builder=builder)
             search = lambda q, m, k, ef: idx.search(q, m, k, ef_search=ef)
         else:
             idx = IVFIndex(arena, rows=rows, nlist=max(16, int(np.sqrt(size))),
@@ -144,13 +153,23 @@ def multi_parameter_validation(
             qps_ef += list(sweep["efs"])
             qps_t += sweep["times_s"]
 
-    # fit: recall params on one cell, (a, b) jointly across all sizes
-    fit = cells[fit_cell]
-    rp = fit_recall_params(fit["sweep"]["efs"], fit["sweep"]["recalls"],
-                           topk, fit["sel"], fit_offset=fit_offset)
+    # fit recall family; (a, b) jointly across all sizes either way
     a, b = fit_qps_params(qps_n, qps_ef, qps_t)
-    params = CostModelParams(k=rp[0], beta=rp[1], a=a, b=b,
-                             ef_offset=rp[2] if len(rp) > 2 else 0.0)
+    if fit_mode == "joint":
+        pts = [(ef, c["sel"], c["n"], r)
+               for c in cells
+               for ef, r in zip(c["sweep"]["efs"], c["sweep"]["recalls"])]
+        rj = fit_recall_params_joint(pts, topk, fit_offset=fit_offset)
+        params = CostModelParams(k=rj.k, beta=rj.beta, a=a, b=b,
+                                 ef_offset=rj.ef_offset, n_ref=rj.n_ref,
+                                 gamma_n=rj.gamma_n)
+        fit = {"n": "joint", "sel": "joint"}
+    else:
+        fit = cells[fit_cell]
+        rp = fit_recall_params(fit["sweep"]["efs"], fit["sweep"]["recalls"],
+                               topk, fit["sel"], fit_offset=fit_offset)
+        params = CostModelParams(k=rp[0], beta=rp[1], a=a, b=b,
+                                 ef_offset=rp[2] if len(rp) > 2 else 0.0)
 
     rm = RecallModel(params)
     qm = QueryTimeModel(params)
@@ -158,7 +177,8 @@ def multi_parameter_validation(
     maes, mapes = [], []
     for cell in cells:
         sweep = cell["sweep"]
-        pred_r = [rm.recall(ef, topk, cell["sel"]) for ef in sweep["efs"]]
+        pred_r = [rm.recall(ef, topk, cell["sel"], n=cell["n"])
+                  for ef in sweep["efs"]]
         pred_t = [qm.partition_time(cell["n"], ef) for ef in sweep["efs"]]
         mae = float(np.mean([abs(p - m) for p, m in
                              zip(pred_r, sweep["recalls"])]))
