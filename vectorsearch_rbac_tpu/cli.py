@@ -306,6 +306,9 @@ def cmd_test(args) -> None:
         cfg.optimizer.qps_a = p.a
         cfg.optimizer.qps_b = p.b
         cfg.optimizer.join_time = p.join_time
+        cfg.optimizer.ef_offset = p.ef_offset
+        cfg.optimizer.n_ref = p.n_ref
+        cfg.optimizer.gamma_n = p.gamma_n
         logger.info("loaded fitted cost-model params from %s", pjson)
 
     arena = build_device_arena(corpus, world, block_rows=cfg.search.block_rows,

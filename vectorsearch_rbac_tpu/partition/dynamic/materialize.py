@@ -108,6 +108,9 @@ def build_dynamic_searcher(
                     k=cfg.optimizer.recall_k, beta=cfg.optimizer.recall_beta,
                     a=cfg.optimizer.qps_a, b=cfg.optimizer.qps_b,
                     join_time=cfg.optimizer.join_time,
+                    ef_offset=cfg.optimizer.ef_offset,
+                    n_ref=cfg.optimizer.n_ref,
+                    gamma_n=cfg.optimizer.gamma_n,
                 ),
                 alpha=cfg.optimizer.storage_alpha,
                 topk=cfg.optimizer.topk,

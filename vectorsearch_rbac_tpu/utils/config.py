@@ -68,6 +68,9 @@ class OptimizerConfig:
     qps_a: float = 550.97             # reference hnsw/helper.py:224
     qps_b: float = 183157.0
     join_time: float = 0.0
+    ef_offset: float = 0.0            # models/cost.py extensions (0 = the
+    n_ref: float = 0.0                # reference's n-free 2-parameter
+    gamma_n: float = 0.0              # family)
 
 
 @dataclass
