@@ -81,3 +81,26 @@ def test_higher_alpha_not_fewer_partitions():
         plan = split_comb_roles(_inputs(world, alpha))
         sizes.append(len(plan.assignment))
     assert sizes[0] <= sizes[1] <= sizes[2]
+
+
+def test_planner_with_tpu_cost_family():
+    """The planner must run unchanged on the engine-fitted TPUCostParams
+    family (model_ef_for_recall / model_partition_time dispatch)."""
+    from vectorsearch_rbac_tpu.models.cost import TPUCostParams
+
+    world = TreeRBACGenerator(num_users=60, num_roles=12, num_docs=90,
+                              h=3, b0=2, b1=3, seed=4).generate()
+    inputs = PlannerInputs(
+        role_to_docs=world.role_to_docs,
+        combs=world.combs,
+        comb_weights=world.comb_weights,
+        single_role_weights={r: 1.0 for r in range(world.num_roles)},
+        params=TPUCostParams(),
+        alpha=1.5,
+        topk=10,
+    )
+    plan = plan_dynamic_partitions(world, inputs)
+    validate_partition_coverage(plan, inputs)
+    total = sum(len(d) for d in plan.assignment.values())
+    assert total <= 1.5 * world.num_docs + max(
+        len(d) for d in world.role_to_docs.values())

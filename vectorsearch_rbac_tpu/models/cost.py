@@ -136,6 +136,110 @@ def ef_for_recall(
     return base * scale + params.ef_offset
 
 
+@dataclass
+class TPUCostParams:
+    """The TPU-engine-fitted cost family (models/fitting.fit_tpu_cost).
+
+    The reference's piecewise family (above) encodes pgvector behavior:
+    threshold ∝ 1/sel, steepness ∝ sel, no n term, time = log(n)(a·ef+b).
+    The measured TPU engine differs on every axis
+    (results/model_validation.json): recall at fixed ef degrades with n,
+    saturation sharpness grows sub-linearly with sel, and batched device
+    graph search is n-independent with a dispatch floor and superlinear ef
+    cost. The family that fits (recall MAE 0.044, time MAPE 0.058 across
+    a 4-size x 5-selectivity x 5-ef grid):
+
+        recall(ef, sel, n) = k / (1 + exp(-s·sel^w · ln(ef / ef50)))
+                  ef50      = C · (n / n_ref)^g · sel^-h
+        time(ef)           = c0 + a_t · ef^p          [+ join_time/probe]
+    """
+
+    k: float = 1.0          # recall ceiling
+    s: float = 3.35         # base log-ef steepness
+    w: float = 0.38         # steepness-vs-sel exponent
+    C: float = 14.9         # ef50 scale at (n_ref, sel=1)
+    g: float = 0.39         # ef50-vs-n exponent
+    h: float = 0.16         # ef50-vs-sel exponent
+    n_ref: float = 100_000.0
+    c0: float = 2.26e-4     # per-query dispatch floor (s)
+    a_t: float = 7.9e-8     # time scale
+    p: float = 1.79         # time-vs-ef exponent
+    join_time: float = 0.0  # per-probe overhead (fit_join_time)
+
+    def to_dict(self) -> Dict[str, float]:
+        return {f: getattr(self, f) for f in
+                ("k", "s", "w", "C", "g", "h", "n_ref", "c0", "a_t", "p",
+                 "join_time")}
+
+    @classmethod
+    def from_dict(cls, d: Mapping[str, float]) -> "TPUCostParams":
+        return cls(**{f: d[f] for f in
+                      ("k", "s", "w", "C", "g", "h", "n_ref", "c0", "a_t",
+                       "p", "join_time") if f in d})
+
+    # ------------------------------------------------------------- recall
+
+    def ef50(self, sel: float, n: float) -> float:
+        sel = max(sel, 1e-6)
+        n = max(n, 2.0)
+        return self.C * (n / self.n_ref) ** self.g * sel ** (-self.h)
+
+    def recall(self, ef: float, topk: int, sel: float,
+               n: float = 0.0) -> float:
+        if sel <= 0 or ef <= 0:
+            return 0.0
+        n = n if n > 1 else self.n_ref
+        z = self.s * max(sel, 1e-6) ** self.w * (
+            math.log(ef) - math.log(self.ef50(sel, n)))
+        z = min(max(z, -60.0), 60.0)
+        return self.k / (1.0 + math.exp(-z))
+
+    def ef_for_recall(self, target: Optional[float], topk: int, sel: float,
+                      n: float = 0.0) -> float:
+        """Invert the logistic; target=None aims at 97% of the ceiling."""
+        n = n if n > 1 else self.n_ref
+        sel = max(sel, 1e-6)
+        r = 0.97 * self.k if target is None else min(target, 0.999 * self.k)
+        inner = r / max(self.k - r, 1e-9)
+        z = math.log(inner) / (self.s * sel ** self.w)
+        return self.ef50(sel, n) * math.exp(z)
+
+    # --------------------------------------------------------------- time
+
+    def partition_time(self, n_vectors: float, ef: float) -> float:
+        if n_vectors <= 1:
+            return 0.0
+        return self.c0 + self.a_t * max(ef, 1.0) ** self.p
+
+    def query_time(self, partition_sizes: Iterable[float], ef: float,
+                   include_join: bool = True) -> float:
+        sizes = list(partition_sizes)
+        t = sum(self.partition_time(n, ef) for n in sizes)
+        if include_join:
+            t += self.join_time * len(sizes)
+        return t
+
+
+def model_ef_for_recall(p, target: Optional[float], topk: int, sel: float,
+                        n: float = 0.0) -> float:
+    """Family-dispatching ef inversion: works for both CostModelParams
+    (reference piecewise family) and TPUCostParams (engine-fitted family).
+    The planner calls this so a fit-params run can swap families without
+    touching optimizer code."""
+    if isinstance(p, TPUCostParams):
+        return p.ef_for_recall(target, topk, sel, n)
+    return ef_for_recall(target, topk, sel, p, n)
+
+
+def model_partition_time(p, n_rows: float, ef: float) -> float:
+    """Family-dispatching per-partition probe time."""
+    if isinstance(p, TPUCostParams):
+        return p.partition_time(n_rows, ef)
+    if n_rows <= 1:
+        return 0.0
+    return math.log(n_rows) * (p.a * ef + p.b)
+
+
 class QueryTimeModel:
     def __init__(self, params: CostModelParams):
         self.p = params

@@ -15,7 +15,7 @@ from typing import Sequence, Tuple
 
 import numpy as np
 
-from .cost import CostModelParams
+from .cost import CostModelParams, TPUCostParams
 
 
 def _piecewise(ef: np.ndarray, k: float, beta: float, topk: float,
@@ -152,6 +152,67 @@ def fit_qps_params(
     tn = t[mask] / np.log(n[mask])
     a, b = np.polyfit(ef[mask], tn, deg=1)
     return float(a), float(b)
+
+
+def fit_tpu_cost(
+    recall_points: Sequence[Tuple[float, float, float, float]],  # (ef, sel, n, r)
+    time_points: Sequence[Tuple[float, float, float, float]],    # (ef, sel, n, t)
+    join_time: float = 0.0,
+) -> TPUCostParams:
+    """Fit the TPU-engine cost family (cost.TPUCostParams) across a
+    (n, sel, ef) grid: the log-ef logistic recall surface and the
+    floor + power-law time curve. scipy falls back to a coarse grid."""
+    rp = np.asarray(recall_points, dtype=np.float64)
+    ef_r, sel_r, n_r, r = rp.T
+    tp = np.asarray(time_points, dtype=np.float64)
+    ef_t, _, _, t = tp.T
+    n_ref = 1e5
+
+    def recall_model(x, k, s, w, C, g, h):
+        ef, sel, n = x
+        ef50 = C * np.power(np.maximum(n, 2.0) / n_ref, g) \
+            * np.power(np.maximum(sel, 1e-6), -h)
+        z = s * np.power(np.maximum(sel, 1e-6), w) \
+            * (np.log(np.maximum(ef, 1e-6)) - np.log(ef50))
+        return k / (1.0 + np.exp(-np.clip(z, -60, 60)))
+
+    def time_model(ef, c0, a_t, p):
+        return c0 + a_t * np.power(np.maximum(ef, 1.0), p)
+
+    try:
+        from scipy.optimize import curve_fit
+
+        (k, s, w, C, g, h), _ = curve_fit(
+            recall_model, np.stack([ef_r, sel_r, n_r]), r,
+            p0=[0.99, 2.0, 0.4, 30.0, 0.4, 0.3],
+            bounds=([0.8, 0.1, -1.0, 1.0, 0.0, 0.0],
+                    [1.0, 10.0, 1.0, 500.0, 2.0, 2.0]),
+            maxfev=80000)
+        (c0, a_t, p), _ = curve_fit(
+            time_model, ef_t, t, p0=[2e-4, 1e-7, 1.8],
+            bounds=([0.0, 0.0, 1.0], [1e-1, 1e-2, 3.0]), maxfev=80000)
+    except Exception:
+        # coarse numpy fallback
+        best = None
+        for s in (1.0, 2.0, 3.5, 5.0):
+            for w in (0.0, 0.2, 0.4):
+                for C in np.geomspace(3, 120, 9):
+                    for g in (0.0, 0.2, 0.4, 0.6):
+                        for h in (0.0, 0.15, 0.3, 0.6):
+                            e = float(np.mean((recall_model(
+                                (ef_r, sel_r, n_r), 0.99, s, w, C, g, h)
+                                - r) ** 2))
+                            if best is None or e < best[0]:
+                                best = (e, 0.99, s, w, C, g, h)
+        _, k, s, w, C, g, h = best
+        c0 = float(np.min(t))
+        resid = np.maximum(t - c0, 1e-9)
+        p, loga = np.polyfit(np.log(np.maximum(ef_t, 1.0)), np.log(resid), 1)
+        a_t = float(np.exp(loga))
+    return TPUCostParams(k=float(k), s=float(s), w=float(w), C=float(C),
+                         g=float(g), h=float(h), n_ref=n_ref,
+                         c0=float(c0), a_t=float(a_t), p=float(p),
+                         join_time=join_time)
 
 
 def fit_join_time(

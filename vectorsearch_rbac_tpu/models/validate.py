@@ -101,6 +101,9 @@ def multi_parameter_validation(
                                 # gamma_n) across the WHOLE grid (the
                                 # n-scaling family the TPU engines need);
                                 # "cell": reference-style single-cell fit
+    family: str = "reference",  # "tpu": fit cost.TPUCostParams (log-ef
+                                # logistic + floor/power time) instead of
+                                # the reference piecewise family
     builder: str = "classic",   # ONE builder for every size — "auto"
                                 # switches engines at 50k rows and a single
                                 # model family cannot span two graph-
@@ -155,6 +158,8 @@ def multi_parameter_validation(
 
     # fit recall family; (a, b) jointly across all sizes either way
     a, b = fit_qps_params(qps_n, qps_ef, qps_t)
+    if family == "tpu":
+        return _finish_tpu_family(cells, topk, index_kind)
     if fit_mode == "joint":
         pts = [(ef, c["sel"], c["n"], r)
                for c in cells
@@ -202,6 +207,64 @@ def multi_parameter_validation(
         "time_mape": float(np.mean(mapes)),
         "fit_cell": {"n": fit["n"], "sel": fit["sel"]},
     }
+
+
+def _finish_tpu_family(cells, topk: int, index_kind: str) -> Dict[str, object]:
+    """Fit cost.TPUCostParams on collected sweep cells and report errors.
+    Shared by multi_parameter_validation(family="tpu") and
+    refit_tpu_family_from_json (offline refits of a saved grid)."""
+    from .fitting import fit_tpu_cost
+
+    pts_r = [(ef, c["sel"], c["n"], r)
+             for c in cells
+             for ef, r in zip(c["sweep"]["efs"], c["sweep"]["recalls"])]
+    pts_t = [(ef, c["sel"], c["n"], t)
+             for c in cells
+             for ef, t in zip(c["sweep"]["efs"], c["sweep"]["times_s"])]
+    params = fit_tpu_cost(pts_r, pts_t)
+    out_cells = []
+    maes, mapes = [], []
+    for cell in cells:
+        sweep = cell["sweep"]
+        pred_r = [params.recall(ef, topk, cell["sel"], n=cell["n"])
+                  for ef in sweep["efs"]]
+        pred_t = [params.partition_time(cell["n"], ef)
+                  for ef in sweep["efs"]]
+        mae = float(np.mean([abs(p - m)
+                             for p, m in zip(pred_r, sweep["recalls"])]))
+        mt = np.asarray(sweep["times_s"])
+        mape = float(np.mean(np.abs(np.asarray(pred_t) - mt)
+                             / np.maximum(mt, 1e-12)))
+        maes.append(mae)
+        mapes.append(mape)
+        out_cells.append({
+            "n": cell["n"], "sel": cell["sel"],
+            "efs": sweep["efs"], "measured_recall": sweep["recalls"],
+            "predicted_recall": pred_r,
+            "measured_time_s": sweep["times_s"], "predicted_time_s": pred_t,
+            "recall_mae": mae, "time_mape": mape,
+        })
+    return {
+        "index": index_kind,
+        "family": "tpu",
+        "params": params.to_dict(),
+        "cells": out_cells,
+        "recall_mae": float(np.mean(maes)),
+        "time_mape": float(np.mean(mapes)),
+        "fit_cell": {"n": "joint", "sel": "joint"},
+    }
+
+
+def refit_tpu_family_from_json(grid: Dict[str, object],
+                               topk: int) -> Dict[str, object]:
+    """Refit the TPU cost family from a saved multi_parameter_validation
+    output (its cells carry the full measured sweeps) — no re-measurement
+    needed."""
+    cells = [{"n": c["n"], "sel": c["sel"],
+              "sweep": {"efs": c["efs"], "recalls": c["measured_recall"],
+                        "times_s": c["measured_time_s"]}}
+             for c in grid["cells"]]
+    return _finish_tpu_family(cells, topk, str(grid.get("index", "hnsw")))
 
 
 def validate_models(

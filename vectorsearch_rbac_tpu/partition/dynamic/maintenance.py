@@ -22,7 +22,7 @@ from __future__ import annotations
 import math
 from typing import Dict, Optional, Set, Tuple
 
-from ...models.cost import ef_for_recall
+from ...models.cost import model_ef_for_recall, model_partition_time
 from ...rbac.world import Comb
 from ...utils.logger import get_logger
 from .optimizer import PartitionPlan, PlannerInputs
@@ -40,7 +40,7 @@ def choose_partition_for_new_role(
     topk = inputs.topk
 
     def _ef(sel: float) -> float:
-        return ef_for_recall(None, topk, max(sel, 1e-6), p)
+        return model_ef_for_recall(p, None, topk, max(sel, 1e-6))
 
     # roles each partition currently serves (from trackers)
     partition_roles: Dict[int, Set[int]] = {}
@@ -60,16 +60,17 @@ def choose_partition_for_new_role(
         sel_before = (sum(existing_sels) / len(existing_sels)) if existing_sels else 0.0
         sel_after = ((sum(existing_sels) + new_sel) / (len(existing_sels) + 1)
                      if existing_sels else new_sel)
-        qt_before = (math.log(len(pdocs)) * (p.a * _ef(sel_before) + p.b)
+        qt_before = (model_partition_time(p, len(pdocs), _ef(sel_before))
                      if sel_before > 0 else 0.0)
         n_after = len(pdocs | new_role_docs)
-        qt_after = math.log(n_after) * (p.a * _ef(sel_after) + p.b)
+        qt_after = model_partition_time(p, n_after, _ef(sel_after))
         d_storage = n_after - len(pdocs)
         costs[pid] = (qt_after - qt_before) / d_storage if d_storage > 0 else float("inf")
 
     new_pid = max(plan.assignment.keys(), default=-1) + 1
     if new_role_docs:
-        qt_new = math.log(max(len(new_role_docs), 2)) * (p.a * _ef(1.0) + p.b)
+        qt_new = model_partition_time(p, max(len(new_role_docs), 2),
+                                      _ef(1.0))
         costs[new_pid] = qt_new / len(new_role_docs)
 
     best = min(costs, key=costs.get)

@@ -34,7 +34,8 @@ import math
 from dataclasses import dataclass, field
 from typing import Dict, FrozenSet, List, Mapping, Optional, Sequence, Set, Tuple
 
-from ...models.cost import CostModelParams, ef_for_recall
+from ...models.cost import (CostModelParams, model_ef_for_recall,
+                            model_partition_time)
 from ...rbac.world import Comb
 from ...utils.logger import get_logger
 
@@ -131,14 +132,16 @@ def compute_query_time(
     recall model, then each comb pays sum over its partitions of
     weight * log(n) * (a*ef + b)."""
     p = inputs.params
-    ef = ef_for_recall(inputs.target_recall, inputs.topk, max(sel_whole, 1e-6), p)
+    ef = model_ef_for_recall(p, inputs.target_recall, inputs.topk,
+                             max(sel_whole, 1e-6))
     total = 0.0
     for comb in combs_to_update:
         w = _weight(comb, weights, inputs.single_role_weights)
         for pid in trackers.get(comb, {}):
             n = len(assignment.get(pid, ()))
             if n > 0:
-                total += w * math.log(n * inputs.avg_blocks_per_doc + 1e-9) * (p.a * ef + p.b)
+                total += w * model_partition_time(
+                    p, n * inputs.avg_blocks_per_doc + 1e-9, ef)
     return total
 
 
@@ -214,15 +217,17 @@ def update_tracker_stage2(
                     covered |= assignment.get(pid, set())
                 if not a_docs.issubset(covered):
                     continue
-                rows_product = 1.0
                 total_sel = 0.0
                 for pid in subset:
                     pdocs = assignment[pid]
                     total_sel += len(a_docs & pdocs) / len(pdocs)
-                    rows_product *= len(pdocs)
                 avg_sel = total_sel / len(subset)
-                ef = ef_for_recall(None, inputs.topk, max(avg_sel, 1e-6), p)
-                qt = math.log(rows_product) * (p.a * ef + p.b)
+                ef = model_ef_for_recall(p, None, inputs.topk,
+                                         max(avg_sel, 1e-6))
+                # sum of per-partition probe times (for the reference
+                # family this equals log(prod sizes) * (a*ef + b))
+                qt = sum(model_partition_time(p, len(assignment[pid]), ef)
+                         for pid in subset)
                 if qt < best_time:
                     best_time = qt
                     best_subset = subset
