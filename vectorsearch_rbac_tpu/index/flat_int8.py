@@ -52,6 +52,21 @@ class Int8FlatIndex:
         self.q_tile = min(q_tile, query_batch)
         self.block_rows = block_rows
         self.group = group
+
+        # VMEM discipline: the defaults are sized for d=128; wide corpora
+        # (768-d cohere shapes) must shrink tiles or Mosaic's 16 MB
+        # scoped-vmem allocation fails at compile time. Empirical limits
+        # from scripts/wide_d_probe.py on v5e (d=768 grid): the streamed
+        # vector+role block must stay <= ~3.7 MB and the query tile
+        # <= ~0.92 MB — the d=128 defaults (8192, 2048) sit exactly at
+        # those bounds.
+        d_pad = q.vectors_q.shape[1]
+        unit = d_pad + q.r_pad
+        while self.block_rows > 1024 and self.block_rows * unit > 3_700_000:
+            self.block_rows //= 2
+        while self.q_tile > 256 and self.q_tile * unit > 940_000:
+            self.q_tile //= 2
+        block_rows = self.block_rows
         self.rerank = (not q.lossless) if rerank is None else rerank
         self.rerank_margin = rerank_margin
         self.dist16 = dist16
