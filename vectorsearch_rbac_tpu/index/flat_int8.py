@@ -149,7 +149,7 @@ class Int8FlatIndex:
                 jnp.asarray(q8b), jnp.asarray(qnb), self._vq, self._nq,
                 self._r8, m8b, inv, kk,
                 q_tile=q_tile, block_rows=self.block_rows,
-                group=self.group, merge="exact", interpret=interp,
+                group=self.group, merge="auto", interpret=interp,
             )
             if self.rerank:
                 d, i = _rerank_f32(

@@ -101,10 +101,11 @@ def int8_masked_topk(
     q_tile: int = 512,
     block_rows: int = 4096,
     group: int = 128,
-    merge: str = "approx",   # group-minima merge: "approx" rides the TPU
-                             # PartialReduce unit (the epilogue top_k over
-                             # Npad/group minima dominates the pass at 1M —
-                             # measured 2x end-to-end), "exact" for oracles
+    merge: str = "approx",   # group-minima merge: "exact" lax.top_k wins
+                             # at 1M-scale group counts (measured 88 vs
+                             # 97 ms / 8192 q); "approx" (PartialReduce +
+                             # 2x over-fetch + exact resort) wins at 10M-
+                             # scale counts; "auto" picks by n_groups
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Return (dists (Q, k) float32 true squared-L2 ascending, idx (Q, k)
@@ -148,6 +149,8 @@ def int8_masked_topk(
         # raw (n_groups, Q) packed minima — for stage profiling only
         return packed, packed
     mins = jnp.transpose(packed, (1, 0))                 # (Q, n_groups)
+    if merge == "auto":
+        merge = "approx" if n_groups > 32768 else "exact"
     if merge == "approx" and n_groups >= 4 * k:
         # PartialReduce-backed approximate selection with 2x OVER-FETCH:
         # approx_min_k at exactly k caps set recall near its recall_target
