@@ -96,6 +96,18 @@ class Int8FlatIndex:
             self._row_map = jax.device_put(rmap)
             self._gathered = True
         self._quant = q
+        # group-min width scales with the row count: the candidate pool is
+        # npad/group per query, and top-k loses ~C(k,2)*group/npad results
+        # to same-group collisions — a 100k-row corpus at group=128 leaves
+        # only 1024 candidates for a top-100 query (recall < 0.95, caught
+        # by bench --smoke). Keep >= 8192 groups where the row count
+        # allows.
+        npad_rows = self._vq.shape[0]
+        fit = npad_rows // 8192
+        if fit >= 8:
+            self.group = min(self.group, 1 << (fit.bit_length() - 1))
+        else:
+            self.group = 8
         # wire-format id width: results carry ARENA row ids (after _map_rows
         # in gathered mode), so size to the arena's padded row count
         self._id_bits = max((arena.n_padded - 1).bit_length(), 1)
