@@ -44,6 +44,8 @@ def main():
     ap.add_argument("--block-rows", type=int, default=131072)
     ap.add_argument("--dataset", default="sift1m",
                     choices=["sift1m", "sift10m", "cohere", "synthetic"])
+    ap.add_argument("--metric", default="l2", choices=["l2", "ip", "cosine"],
+                    help="distance metric (pgvector <-> / <#> / <=> analog)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--batch", type=int, default=0,
                     help="serving query batch (0 = strategy default)")
@@ -99,7 +101,8 @@ def main():
     from vectorsearch_rbac_tpu.bench.harness import compute_truth_sample
     import gc
     gt_arena = build_device_arena(corpus, world, block_rows=min(args.block_rows, 65536),
-                                  dtype="float32", with_aug=False)
+                                  dtype="float32", with_aug=False,
+                                  metric=args.metric)
     oracle = GroundTruthOracle(gt_arena, cache_dir="artifacts",
                                block_rows=min(args.block_rows, 65536),
                                query_batch=1024)
@@ -112,7 +115,8 @@ def main():
 
     # phase B: serving arena (compute dtype)
     t0 = time.perf_counter()
-    arena = build_device_arena(corpus, world, block_rows=args.block_rows, dtype=args.dtype)
+    arena = build_device_arena(corpus, world, block_rows=args.block_rows,
+                               dtype=args.dtype, metric=args.metric)
     build_s = time.perf_counter() - t0
     log(f"arena upload: {build_s:.2f}s ({arena.n_padded} rows, {args.dtype})")
 

@@ -46,5 +46,12 @@ def test_cli_fit_params(tmp_path):
                  "--block-rows", "512"])
     with open(os.path.join(art, "parameter_ivf.json")) as f:
         params = json.load(f)
-    assert set(params) >= {"k", "beta", "a", "b"}
+    # IVF persists the coverage family (round-2 artifact's finding), and
+    # load_params must reconstruct the right class from the family tag
+    assert params["family"] == "ivf_coverage"
+    assert set(params) >= {"k", "lam", "sigma", "a", "b"}
+    from vectorsearch_rbac_tpu.models.cost import IVFCoverageParams
+    from vectorsearch_rbac_tpu.utils.persist import load_params
+    loaded = load_params(os.path.join(art, "parameter_ivf.json"))
+    assert isinstance(loaded, IVFCoverageParams)
     assert os.path.exists(os.path.join(art, "model_validation.json"))

@@ -147,3 +147,50 @@ def test_dynamic_hnsw_selectivity_scaled_ef(small_world, small_corpus):
         got = set(int(x) for x in ids[qi] if x >= 0)
         hits += len(want & got); tot += 5
     assert hits / tot > 0.7, f"scaled-ef dynamic hnsw recall {hits/tot}"
+
+
+def test_graph_batcher_parity(small_world, small_corpus):
+    """The slab-batched multi-graph dispatch path (partition/graph_batch.py)
+    must return the same results as per-(comb,partition) dispatches on the
+    same partitions — dispatch batching is an execution detail, not a
+    semantic change."""
+    from vectorsearch_rbac_tpu.core import build_device_arena
+    from vectorsearch_rbac_tpu.partition.dynamic import build_dynamic_searcher
+
+    cfg = FrameworkConfig()
+    cfg.index.kind = "hnsw"
+    cfg.index.hnsw_m = 8
+    cfg.index.hnsw_ef_construction = 48
+    cfg.search.ef_search = 32
+    cfg.optimizer.storage_alpha = 1.5
+    arena = build_device_arena(small_corpus, small_world, block_rows=128,
+                               dtype="int8")
+    s = build_dynamic_searcher(small_corpus, small_world, arena, cfg,
+                               packed=False)
+    assert hasattr(s, "graph_batcher")
+    n_classes = len(s.graph_batcher.slabs)
+    assert n_classes <= 4  # slabs bound dispatch shapes
+
+    rng = np.random.default_rng(6)
+    nq, k = 48, 8
+    q = rng.standard_normal((nq, small_corpus.dim)).astype(np.float32)
+    users = rng.integers(0, small_world.num_users, nq)
+    db, ib = s.search_batch(q, users, small_world.user_masks, k)
+
+    batcher = s.graph_batcher
+    del s.graph_batcher          # fall back to per-group dispatches
+    du, iu = s.search_batch(q, users, small_world.user_masks, k)
+    s.graph_batcher = batcher
+
+    bits = small_corpus.vector_role_bits(small_world)
+    masks = small_world.user_masks[users]
+    agree = 0
+    for qi in range(nq):
+        got_b = [int(x) for x in ib[qi] if x >= 0]
+        got_u = [int(x) for x in iu[qi] if x >= 0]
+        for r in got_b:
+            assert (bits[r] & masks[qi]).any()
+        # identical probe parameters + identical graphs -> identical sets
+        assert set(got_b) == set(got_u), (qi, sorted(got_b), sorted(got_u))
+        agree += 1
+    assert agree == nq

@@ -105,6 +105,109 @@ def test_int8_kernel_interpret_exact(int_corpus, int_world, int_arena):
                 assert abs(d[qi, j] - true) < 1e-3
 
 
+def test_wide_d_adversarial_no_overflow(int_world):
+    """d=768 adversarial corpus: with the full [-128,127] span the packed
+    (score << 7 | lane) epilogue would overflow int32 (worst case
+    3*768*127^2 = 3.7e7 >> 2^23) and far rows would win the min-reduce.
+    quantize_corpus must clamp the span so the bound holds, and the kernel
+    (interpret) must agree with the unpacked reference twin."""
+    import jax.numpy as jnp
+
+    from vectorsearch_rbac_tpu.core import Corpus, build_device_arena
+    from vectorsearch_rbac_tpu.index.flat_int8 import Int8FlatIndex
+    from vectorsearch_rbac_tpu.ops.pallas_scan_int8 import (
+        int8_masked_topk, int8_masked_topk_reference,
+    )
+
+    rng = np.random.default_rng(17)
+    n, d = 512, 768
+    # bimodal extremes maximize |x - q| on every component
+    vecs = rng.choice(np.array([-1000.0, 1000.0], np.float32), (n, d))
+    vecs += rng.standard_normal((n, d)).astype(np.float32)
+    docs = np.repeat(np.arange(n // 4), 4)
+    corpus = Corpus(vectors=vecs, doc_ids=docs, block_ids=np.arange(n) % 4)
+    world = TreeRBACGenerator(num_users=40, num_roles=16,
+                              num_docs=corpus.num_docs, h=3, b0=2, b1=2,
+                              seed=5).generate()
+    arena = build_device_arena(corpus, world, block_rows=256, dtype="int8")
+    q = arena.quant
+    assert 3 * q.d_pad * q.qclip**2 < 2**23
+    assert not q.lossless  # coarser span -> rerank auto-on
+
+    nq, k = 8, 5
+    qf = rng.choice(np.array([-1000.0, 1000.0], np.float32), (nq, d))
+    users = rng.integers(0, world.num_users, nq)
+    masks = world.user_masks[users]
+    qq, qn = q.quantize_queries(qf)
+    m8 = q.quantize_masks(masks, world.num_roles)
+    inv = jnp.float32(1.0 / q.scale**2)
+    dk, ik = int8_masked_topk(
+        jnp.asarray(qq), jnp.asarray(qn), q.vectors_q, q.norms_q, q.roles8,
+        jnp.asarray(m8), inv, k, q_tile=8, block_rows=256, group=8,
+        interpret=True)
+    dr, ir = int8_masked_topk_reference(
+        jnp.asarray(qq), jnp.asarray(qn), q.vectors_q, q.norms_q, q.roles8,
+        jnp.asarray(m8), inv, k)
+    # the packed kernel must produce the same quantized-domain candidate
+    # sets as the unpacked twin (group-min can only drop same-group ties)
+    for qi in range(nq):
+        got = set(int(x) for x in np.asarray(ik)[qi] if x >= 0)
+        want = set(int(x) for x in np.asarray(ir)[qi] if x >= 0)
+        assert got and np.asarray(ik)[qi][0] == np.asarray(ir)[qi][0]
+        assert len(got & want) >= len(want) - 1
+
+    # the full engine path (with f32 rerank) restores true-distance order
+    idx = Int8FlatIndex(arena, None, query_batch=8, q_tile=8,
+                        block_rows=256, group=8)
+    assert idx.rerank
+    de, ie = idx.search(qf, masks, k)
+    bits = corpus.vector_role_bits(world)
+    for qi in range(nq):
+        want = _oracle(corpus, world, qf[qi], masks[qi], k)
+        got = [int(x) for x in ie[qi] if x >= 0]
+        for r in got:
+            assert (bits[r] & masks[qi]).any()
+        if want:
+            assert got[0] == want[0]
+
+
+def test_wide_kernel_matches_narrow(int_world):
+    """int8_masked_topk_wide (d-split grid + VMEM-scratch accumulation)
+    must agree with the narrow kernel bit-for-bit: same quantized scores,
+    same packed group-min epilogue, different tiling only."""
+    import jax.numpy as jnp
+
+    from vectorsearch_rbac_tpu.core import Corpus, build_device_arena
+    from vectorsearch_rbac_tpu.ops.pallas_scan_int8 import (
+        int8_masked_topk, int8_masked_topk_wide,
+    )
+
+    rng = np.random.default_rng(23)
+    n, d = 512, 384   # d_pad 384: the d_chunk fallback path (384 % 256 != 0)
+    vecs = rng.integers(0, 200, (n, d)).astype(np.float32)
+    corpus = Corpus(vectors=vecs, doc_ids=np.repeat(np.arange(n // 4), 4),
+                    block_ids=np.arange(n) % 4)
+    world = TreeRBACGenerator(num_users=40, num_roles=16,
+                              num_docs=corpus.num_docs, h=3, b0=2, b1=2,
+                              seed=5).generate()
+    arena = build_device_arena(corpus, world, block_rows=256, dtype="int8")
+    q = arena.quant
+    nq, k = 16, 6
+    qf = rng.integers(0, 200, (nq, d)).astype(np.float32)
+    users = rng.integers(0, world.num_users, nq)
+    qq, qn = q.quantize_queries(qf)
+    m8 = q.quantize_masks(world.user_masks[users], world.num_roles)
+    inv = jnp.float32(1.0 / q.scale**2)
+    args = (jnp.asarray(qq), jnp.asarray(qn), q.vectors_q, q.norms_q,
+            q.roles8, jnp.asarray(m8), inv, k)
+    dn, i_n = int8_masked_topk(*args, q_tile=16, block_rows=256, group=8,
+                               merge="exact", interpret=True)
+    dw, i_w = int8_masked_topk_wide(*args, q_tile=16, block_rows=256,
+                                    group=8, merge="exact", interpret=True)
+    np.testing.assert_array_equal(np.asarray(i_n), np.asarray(i_w))
+    np.testing.assert_allclose(np.asarray(dn), np.asarray(dw), rtol=1e-6)
+
+
 def test_tiled_searcher_role_exact(int_corpus, int_world, int_arena):
     """TiledSearcher on ROLE partitions matches the float oracle exactly
     (per-chunk exact top-k, lossless quantization, no group-min)."""

@@ -77,3 +77,34 @@ def test_fit_qps_recovers_params():
     a, b = fit_qps_params(ns, efs, times)
     assert a == pytest.approx(a_true, rel=0.1)
     assert b == pytest.approx(b_true, rel=0.15)
+
+
+def test_ivf_coverage_family_fits_round2_sweep():
+    """The coverage family must describe the committed round-2 IVF sweep
+    (results/ivf_model_validation_1m.json) — the artifact the piecewise
+    family failed on."""
+    from vectorsearch_rbac_tpu.models.cost import (
+        IVFCoverageParams, model_ef_for_recall, model_partition_time,
+    )
+    from vectorsearch_rbac_tpu.models.fitting import fit_ivf_coverage
+
+    nprobes = [8, 16, 32, 64]
+    recalls = [0.3394, 0.4972, 0.7055, 0.8866]
+    p = fit_ivf_coverage(nprobes, recalls, l_pad=1024)
+    pred = [p.recall(m) for m in nprobes]
+    mae = float(np.mean(np.abs(np.asarray(pred) - np.asarray(recalls))))
+    assert mae < 0.03, (mae, pred)
+
+    # inversion roundtrip through the family-dispatching planner interface
+    for target in (0.5, 0.7, 0.85):
+        np_needed = model_ef_for_recall(p, target, 100, 0.036, 1e6)
+        assert p.recall(np_needed) == pytest.approx(target, abs=1e-6)
+    # monotone: higher recall needs more probes
+    assert (model_ef_for_recall(p, 0.9, 100, 0.036)
+            > model_ef_for_recall(p, 0.5, 100, 0.036))
+    # time model dispatch uses nprobe * l_pad as ef
+    t = model_partition_time(p, 1e6, 16)
+    assert t == pytest.approx(
+        math.log(1e6) * (p.a * 16 * p.l_pad + p.b), rel=1e-9)
+    # serialization roundtrip
+    assert IVFCoverageParams.from_dict(p.to_dict()).lam == p.lam

@@ -26,9 +26,12 @@ logger = get_logger("ground_truth")
 
 
 def _workload_digest(
-    corpus: Corpus, world: RBACWorld, workload: QueryWorkload, k: int
+    corpus: Corpus, world: RBACWorld, workload: QueryWorkload, k: int,
+    metric: str = "l2",
 ) -> str:
     h = hashlib.sha256()
+    if metric != "l2":   # l2 keys unchanged so existing caches stay valid
+        h.update(metric.encode())
     # ALL query vectors (a truncated sample let workloads differing beyond
     # query 64 silently share a stale cache) + full user assignment
     h.update(np.ascontiguousarray(workload.vectors, dtype=np.float32).tobytes())
@@ -78,7 +81,8 @@ class GroundTruthOracle:
         cache_path = None
         if self.cache_dir:
             os.makedirs(self.cache_dir, exist_ok=True)
-            digest = _workload_digest(corpus, world, workload, k)
+            digest = _workload_digest(corpus, world, workload, k,
+                                      self._index.metric)
             cache_path = os.path.join(self.cache_dir, f"gt_{digest}.npy")
             if os.path.exists(cache_path):
                 logger.info("ground truth cache hit: %s", cache_path)

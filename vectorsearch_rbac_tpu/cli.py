@@ -227,35 +227,69 @@ def cmd_fit_params(args) -> None:
     rng = np.random.default_rng(state["seed"] + 7)
     sizes = sorted({max(2048, corpus.n // f) for f in (8, 4, 2, 1)})
     qn, qe, qt = [], [], []
-    small_search = None
     for size in sizes:
         rows = (None if size >= corpus.n
                 else np.sort(rng.choice(corpus.n, size, replace=False)))
         _, sfn = make_index(rows)
-        if small_search is None:
-            small_search = sfn
         ssweep = sweep_search_width(sfn, wl.vectors, masks, truth,
                                     args.topk, args.efs, timing_reps=1)
         qn += [size] * len(args.efs)
         qe += list(ssweep["efs"])
         qt += ssweep["times_s"]
 
-    # join_time: per-partition probe overhead — time m sequential probes of
-    # the smallest index at fixed ef, fit the slope (the TPU analog of the
-    # reference's SubPlan-2 join-time regression, analysis_hnsw_qps.py:371)
+    # join_time: per-partition probe overhead J (the TPU analog of the
+    # reference's SubPlan-2 join-time regression, analysis_hnsw_qps.py:371).
+    # fit_join_time's premise is a FIXED total row count split over m
+    # partitions, so the slope of t(m) isolates dispatch+merge overhead;
+    # probing one index m times would fold the whole scan cost into the
+    # slope and bias plans toward fewer/larger partitions (ADVICE r2).
     ef_j = args.efs[len(args.efs) // 2]
+    base_rows = np.sort(rng.choice(corpus.n, min(sizes[0], corpus.n),
+                                   replace=False))
     jm, jt = [], []
     for m_probes in (1, 2, 4):
+        fns = [make_index(np.sort(part))[1]
+               for part in np.array_split(base_rows, m_probes)]
+        for fn in fns:   # warm: compile outside the timed region
+            fn(wl.vectors, masks, args.topk, ef_j)
         t0 = time.perf_counter()
-        for _ in range(m_probes):
-            small_search(wl.vectors, masks, args.topk, ef_j)
+        for fn in fns:
+            fn(wl.vectors, masks, args.topk, ef_j)
         jm.append(m_probes)
         jt.append((time.perf_counter() - t0) / len(wl.vectors))
     join_time = fit_join_time(jm, jt)
 
+    a, b = fit_qps_params(qn, qe, qt)
+    if args.index == "ivf":
+        # IVF recall is coverage-shaped, not piecewise (the round-2
+        # artifact's finding, results/ivf_model_validation_1m.json):
+        # fit + persist the coverage family behind the same interface
+        from .models.fitting import fit_ivf_coverage
+
+        idx_obj, _ = make_index()
+        params = fit_ivf_coverage(sweep["efs"], sweep["recalls"],
+                                  l_pad=getattr(idx_obj, "l_pad", 1024),
+                                  a=a, b=b)
+        pred = np.asarray([params.recall(m) for m in sweep["efs"]])
+        report = {
+            "index": "ivf", "family": "ivf_coverage",
+            "recall_mae": float(np.mean(np.abs(
+                pred - np.asarray(sweep["recalls"])))),
+            "sweep": {"nprobe": list(map(float, sweep["efs"])),
+                      "measured": list(map(float, sweep["recalls"])),
+                      "predicted": [float(x) for x in pred]},
+        }
+        save_params(params, _art(args, f"parameter_{args.index}.json"))
+        with open(_art(args, "model_validation.json"), "w") as f:
+            json.dump(report, f, indent=2)
+        logger.info(
+            "fitted ivf coverage k=%.3f lam=%.4g sigma=%.3f a=%.4g b=%.4g "
+            "(recall MAE %.3f)", params.k, params.lam, params.sigma,
+            params.a, params.b, report["recall_mae"])
+        return
+
     rp = fit_recall_params(sweep["efs"], sweep["recalls"], args.topk, sel,
                            fit_offset=True)
-    a, b = fit_qps_params(qn, qe, qt)
     from .models.cost import CostModelParams
 
     params = CostModelParams(k=rp[0], beta=rp[1], a=a, b=b,

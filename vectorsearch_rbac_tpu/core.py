@@ -110,6 +110,9 @@ class ArenaQuant:
     scale: float
     center: np.ndarray   # (d,) float32
     lossless: bool       # True when quantization is exact (SIFT-family)
+    qclip: int = 127     # component clip |x_q| <= qclip; chosen at build so
+                         # the packed-epilogue bound 3*d_pad*qclip^2 < 2^23
+                         # holds (see quantize_corpus)
     host_vectors_q: Optional[np.ndarray] = None   # (Npad, d_pad) int8
     host_norms_q: Optional[np.ndarray] = None     # (Npad,) int32
     host_roles8: Optional[np.ndarray] = None      # (Npad, R_pad) int8
@@ -125,13 +128,41 @@ class ArenaQuant:
     def quantize_queries(self, q: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """(Q, d) float32 -> ((Q, d_pad) int8, (Q,) int32 query norms)."""
         qs = (np.asarray(q, dtype=np.float32) - self.center[None, :]) * self.scale
-        qq = np.clip(np.rint(qs), -128, 127).astype(np.int8)
+        qq = np.clip(np.rint(qs), -self.qclip,
+                     min(self.qclip, 127)).astype(np.int8)
         d_pad = self.d_pad
         if qq.shape[1] < d_pad:
             qq = np.concatenate(
                 [qq, np.zeros((qq.shape[0], d_pad - qq.shape[1]), np.int8)], axis=1)
         qn = np.einsum("qd,qd->q", qq.astype(np.int64), qq.astype(np.int64))
         return qq, qn.astype(np.int32)
+
+    def quantize_queries_ip(
+        self, q: np.ndarray, cosine: bool = False
+    ) -> Tuple[np.ndarray, float, np.ndarray]:
+        """ip/cosine query quantization. Returns (q8 (Q, d_pad) int8,
+        inv, bias (Q,) f32) such that the kernel's -q8.x8 score times `inv`
+        plus `bias` is the true metric distance: queries keep their own
+        per-call scale (no center shift — the corpus centering contributes
+        only a per-query constant q.center, folded into bias), and cosine
+        normalizes q first and adds the +1 of (1 - cos)."""
+        qf = np.asarray(q, dtype=np.float32)
+        if cosine:
+            qf = qf / np.maximum(
+                np.linalg.norm(qf, axis=1, keepdims=True), 1e-30)
+        clip = min(self.qclip, 127)
+        qs = clip / (float(np.max(np.abs(qf))) or 1.0)
+        qq = np.clip(np.rint(qf * qs), -self.qclip, clip).astype(np.int8)
+        d_pad = self.d_pad
+        if qq.shape[1] < d_pad:
+            qq = np.concatenate(
+                [qq, np.zeros((qq.shape[0], d_pad - qq.shape[1]), np.int8)],
+                axis=1)
+        inv = 1.0 / (qs * self.scale)
+        bias = -(qf @ self.center.astype(np.float64)).astype(np.float32)
+        if cosine:
+            bias = bias + 1.0
+        return qq, float(inv), bias
 
     def quantize_masks(self, masks: np.ndarray,
                        num_roles: Optional[int] = None) -> np.ndarray:
@@ -160,26 +191,37 @@ def quantize_corpus(
     hi = vectors.max(axis=0) if n else np.ones(d, np.float32)
     center = ((lo + hi) / 2.0).astype(np.float32)
     span = float(np.max(hi - center)) or 1.0
+    # Packed-epilogue overflow bound: the fused kernels pack the int32
+    # score as (score << 7 | lane), which is only valid while
+    # |score| < 2^23. With components clipped to [-B, B] the worst case is
+    # |score| <= d_pad * B * (B + 2B) = 3 * d_pad * B^2, so the span clamp
+    # B_lim = sqrt((2^23 - 1) / (3 * d_pad)) guarantees it for ANY data:
+    # d_pad=128 -> 147 (full int8 range stays legal), d_pad=768 -> 60.
+    # Wide-d corpora therefore quantize coarser and go lossless=False,
+    # which auto-enables the f32 rerank pass in Int8FlatIndex.
+    b_lim = int(np.sqrt((2**23 - 1) / (3 * d_pad)))
     # integer-valued corpora in [0, 255] (SIFT family): shift-only, exact
     is_int_valued = bool(
         n and np.all(lo >= 0) and np.all(hi <= 255)
         and np.allclose(vectors[: min(n, 4096)],
                         np.rint(vectors[: min(n, 4096)]))
     )
-    if is_int_valued:
+    if is_int_valued and b_lim >= 128:
         center = np.full(d, 128.0, dtype=np.float32)
         scale = 1.0
         lossless = True
+        qclip = 128
     else:
-        scale = 127.0 / span
+        qclip = min(b_lim, 127)
+        scale = qclip / span
         lossless = False
     xq = np.zeros((npad, d_pad), dtype=np.int8)
     xs = (vectors - center[None, :]) * scale
-    xq[:n, :d] = np.clip(np.rint(xs), -128, 127).astype(np.int8)
+    xq[:n, :d] = np.clip(np.rint(xs), -qclip, min(qclip, 127)).astype(np.int8)
     norms = np.zeros(npad, dtype=np.int32)
     x64 = xq[:n].astype(np.int64)
     norms[:n] = np.einsum("nd,nd->n", x64, x64).astype(np.int32)
-    return xq, norms, scale, center, lossless
+    return xq, norms, scale, center, lossless, qclip
 
 
 @dataclass(frozen=True)
@@ -207,6 +249,13 @@ class DeviceArena:
     vectors_aug: Optional[object] = None        # jax.Array (Npad, d_aug)
     # int8 quantized mirror (see ArenaQuant): the fastest serving path
     quant: Optional[ArenaQuant] = None
+    # distance metric the arena serves (the pgvector operator-family analog,
+    # reference pgvector/src/vector.c <-> / <#> / <=> operators):
+    #   "l2"     squared L2 (default)
+    #   "ip"     negative inner product (pgvector <#>)
+    #   "cosine" cosine distance 1 - cos; corpus rows are L2-NORMALIZED at
+    #            ingest so every op runs the ip score path on unit vectors
+    metric: str = "l2"
 
     @property
     def n_padded(self) -> int:
@@ -226,6 +275,7 @@ def build_device_arena(
     with_aug: bool = True,   # False saves HBM when only the exact
                              # (non-augmented) path is needed, e.g. the
                              # ground-truth oracle arena at 10M scale
+    metric: str = "l2",      # "l2" | "ip" | "cosine" (see DeviceArena.metric)
 ) -> DeviceArena:
     """Upload the corpus once into HBM, padded to a block multiple.
 
@@ -236,6 +286,7 @@ def build_device_arena(
     import jax
     import jax.numpy as jnp
 
+    assert metric in ("l2", "ip", "cosine"), metric
     quantized = dtype == "int8"
     store_dtype = "bfloat16" if quantized else dtype
 
@@ -243,8 +294,13 @@ def build_device_arena(
     npad = pad_rows(max(n, 1), block_rows)
     vecs = np.zeros((npad, d), dtype=np.float32)
     vecs[:n] = corpus.vectors
+    if metric == "cosine" and n:
+        # normalize ONCE at ingest; cosine then rides the ip score path
+        # (pgvector normalizes per distance call, vector.c cosine_distance)
+        nrm = np.linalg.norm(vecs[:n], axis=1, keepdims=True)
+        vecs[:n] /= np.maximum(nrm, 1e-30)
     norms = np.zeros(npad, dtype=np.float32)
-    norms[:n] = np.einsum("nd,nd->n", corpus.vectors, corpus.vectors, dtype=np.float64)
+    norms[:n] = np.einsum("nd,nd->n", vecs[:n], vecs[:n], dtype=np.float64)
     bits = np.zeros((npad, world.words), dtype=np.uint32)
     bits[:n] = corpus.vector_role_bits(world)
 
@@ -252,7 +308,7 @@ def build_device_arena(
 
     quant = None
     if quantized:
-        xq, nq_, scale, center, lossless = quantize_corpus(corpus.vectors, npad)
+        xq, nq_, scale, center, lossless, qclip = quantize_corpus(vecs[:n], npad)
         r_pad = ((world.num_roles + 127) // 128) * 128
         roles8 = bits_to_onehot8(bits, world.num_roles, r_pad)
         quant = ArenaQuant(
@@ -262,6 +318,7 @@ def build_device_arena(
             scale=scale,
             center=center,
             lossless=lossless,
+            qclip=qclip,
             host_vectors_q=xq,
             host_norms_q=nq_,
             host_roles8=roles8,
@@ -282,7 +339,58 @@ def build_device_arena(
             if (with_aug and not quantized) else None
         ),
         quant=quant,
+        metric=metric,
     )
+
+
+def tombstone_rows(arena: DeviceArena, rows: np.ndarray) -> DeviceArena:
+    """Row-level delete, phase 1 (the pgvector delete-before-vacuum analog,
+    reference pgvector/src/hnswvacuum.c: deleted heap TIDs stay in the index
+    until repair): ZERO the deleted rows' role bitsets — padding rows
+    already travel with zero bits, so every fused kernel, scan, and graph
+    `allowed()` check rejects tombstoned rows with no new code or branch on
+    the hot path. Returns a new DeviceArena sharing vectors/norms buffers;
+    reclaim the bytes with compact_corpus + a rebuild (phase 2, the VACUUM).
+
+    Engines that GATHERED physical copies of role bits before the delete
+    (TiledSearcher chunks, physical HNSW/flat partitions) keep serving the
+    old bits until rebuilt — exactly pgvector's index-until-VACUUM
+    semantics. Arena-backed paths (global scans, logical partitions) see
+    the tombstone immediately."""
+    import dataclasses
+
+    import jax
+
+    rows = np.asarray(rows, dtype=np.int64)
+    bits = np.array(arena.host_bits if arena.host_bits is not None
+                    else np.asarray(arena.role_bits))
+    bits[rows] = 0
+    quant = arena.quant
+    if quant is not None:
+        roles8 = np.array(quant.host_roles8 if quant.host_roles8 is not None
+                          else np.asarray(quant.roles8))
+        roles8[rows] = 0
+        quant = dataclasses.replace(
+            quant, roles8=jax.device_put(roles8), host_roles8=roles8)
+    return dataclasses.replace(
+        arena, role_bits=jax.device_put(bits), host_bits=bits, quant=quant)
+
+
+def compact_corpus(corpus: Corpus,
+                   deleted: np.ndarray) -> Tuple[Corpus, np.ndarray]:
+    """Row-level delete, phase 2 (VACUUM): drop deleted rows from the
+    corpus. Returns (new corpus, remap) where remap[old_row] = new_row or
+    -1 for deleted rows — rebuild the arena and indexes from the new
+    corpus and translate any persisted row ids through remap."""
+    deleted = np.asarray(deleted, dtype=np.int64)
+    keep = np.ones(corpus.n, dtype=bool)
+    keep[deleted] = False
+    remap = np.full(corpus.n, -1, dtype=np.int64)
+    remap[keep] = np.arange(int(keep.sum()))
+    new = Corpus(vectors=np.ascontiguousarray(corpus.vectors[keep]),
+                 doc_ids=np.ascontiguousarray(corpus.doc_ids[keep]),
+                 block_ids=np.ascontiguousarray(corpus.block_ids[keep]))
+    return new, remap
 
 
 def augment_with_norms(vecs: np.ndarray, norms: np.ndarray) -> np.ndarray:

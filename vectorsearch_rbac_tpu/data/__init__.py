@@ -3,6 +3,9 @@ from .datasets import (
     sift_like_corpus,
     load_sift_hdf5,
     load_sift10m,
+    load_embedding_dump,
+    load_arxiv_categories,
+    cohere_like_corpus,
     resolve_dataset,
 )
 from .embedding import (
@@ -17,6 +20,9 @@ __all__ = [
     "sift_like_corpus",
     "load_sift_hdf5",
     "load_sift10m",
+    "load_embedding_dump",
+    "load_arxiv_categories",
+    "cohere_like_corpus",
     "resolve_dataset",
     "Embedder",
     "HashingEmbedder",

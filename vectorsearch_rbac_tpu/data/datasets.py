@@ -152,6 +152,77 @@ def cohere_like_corpus(
     return corpus, vecs[num_vectors:]
 
 
+def load_embedding_dump(
+    path: str,
+    blocks_per_doc: int = SIFT_DOCUMENT_VECTOR_COUNT,
+    max_vectors: Optional[int] = None,
+    query_holdout: int = 10_000,
+) -> Tuple[Corpus, np.ndarray]:
+    """Load a real embedding-dump corpus (cohere / wikipedia-22-12 shapes)
+    from .npy, .npz, .parquet, or .hdf5 — the analog of the reference's
+    wikipedia ingestion (services/read_dataset_function.py:516
+    read_and_store_wikipedia_dataset, which streams the Cohere/wikipedia
+    embedding column). Queries come from `<stem>_queries.npy` when present,
+    else the last `query_holdout` rows are held out."""
+    stem, ext = os.path.splitext(path)
+    ext = ext.lower()
+    if ext == ".npy":
+        vecs = np.load(path, mmap_mode="r")
+        vecs = np.asarray(vecs, dtype=np.float32)
+    elif ext == ".npz":
+        with np.load(path) as z:
+            key = "embeddings" if "embeddings" in z.files else z.files[0]
+            vecs = np.asarray(z[key], dtype=np.float32)
+    elif ext == ".parquet":
+        import pandas as pd  # gated: parquet needs pandas+pyarrow
+
+        df = pd.read_parquet(path)
+        col = next(c for c in ("emb", "embedding", "embeddings", "vector")
+                   if c in df.columns)
+        vecs = np.asarray(np.stack(df[col].to_numpy()), dtype=np.float32)
+    elif ext in (".hdf5", ".h5"):
+        return load_sift_hdf5(path, blocks_per_doc=blocks_per_doc,
+                              max_vectors=max_vectors)
+    else:
+        raise ValueError(f"unsupported embedding dump format: {path}")
+
+    qpath = stem + "_queries.npy"
+    if os.path.isfile(qpath):
+        queries = np.asarray(np.load(qpath), dtype=np.float32)
+        base = vecs
+    else:
+        holdout = min(query_holdout, max(len(vecs) // 10, 1))
+        base, queries = vecs[:-holdout], vecs[-holdout:]
+    if max_vectors is not None:
+        base = base[:max_vectors]
+    return _group_into_documents(np.ascontiguousarray(base),
+                                 blocks_per_doc), queries
+
+
+def load_arxiv_categories(path: str,
+                          max_docs: Optional[int] = None) -> np.ndarray:
+    """arXiv metadata (JSON-lines, kaggle arxiv-metadata-oai-snapshot.json)
+    -> (num_docs,) int category ids from each paper's PRIMARY category —
+    the real-file feed for ArxivBusinessRBACGenerator (the reference
+    builds its business hierarchy from the same file,
+    services/rbac_generator/arxiv_generator_business.py:20)."""
+    import json as _json
+
+    cats: list = []
+    cat_ids: dict = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            rec = _json.loads(line)
+            primary = str(rec.get("categories", "unknown")).split()[0]
+            cats.append(cat_ids.setdefault(primary, len(cat_ids)))
+            if max_docs is not None and len(cats) >= max_docs:
+                break
+    return np.asarray(cats, dtype=np.int64)
+
+
 def resolve_dataset(
     name: str,
     dataset_path: str = "",
@@ -174,6 +245,13 @@ def resolve_dataset(
             return load_sift10m(cand, max_vectors=num_vectors)
         return sift_like_corpus(num_vectors=num_vectors, seed=seed)
     if name in ("cohere", "wikipedia"):
+        candidates = [dataset_path] if os.path.isfile(dataset_path) else [
+            os.path.join(dataset_path, f"{name}{ext}")
+            for ext in (".npy", ".npz", ".parquet", ".hdf5")
+        ] + [os.path.join(dataset_path, "wikipedia-22-12-en-embeddings.parquet")]
+        for cand in candidates:
+            if cand and os.path.isfile(cand):
+                return load_embedding_dump(cand, max_vectors=num_vectors)
         return cohere_like_corpus(num_vectors=num_vectors, seed=seed)
     if name == "synthetic":
         corpus = synthetic_corpus(num_docs=num_vectors // SIFT_DOCUMENT_VECTOR_COUNT,

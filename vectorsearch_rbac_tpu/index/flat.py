@@ -65,6 +65,7 @@ class FlatIndex:
         self.query_batch = query_batch
         self.recall_target = recall_target
         self._arena = arena
+        self.metric = arena.metric
 
         self._dim = arena.dim
         if rows is None:
@@ -130,13 +131,13 @@ class FlatIndex:
                 d, i = scan_topk_aug_fn(
                     jnp.asarray(qb), self._vectors_aug, self._bits,
                     jnp.asarray(mb), self._dim, k, self.block_rows,
-                    self.mode, self.recall_target,
+                    self.mode, self.recall_target, metric=self.metric,
                 )
             else:
                 d, i = scan_topk_fn(
                     jnp.asarray(qb), self._vectors, self._norms, self._bits,
                     jnp.asarray(mb), k, self.block_rows, self.mode,
-                    self.recall_target,
+                    self.recall_target, metric=self.metric,
                 )
             if self._row_map is not None:
                 i = _map_rows(i, self._row_map)

@@ -24,6 +24,139 @@ from ..utils.logger import get_logger
 logger = get_logger("index.flat_int8")
 
 
+_GATHER_FN = None
+
+
+def _gather_logical(rmap, vq, nq, r8):
+    """Device-side gather of a partition's rows from the shared quant arena
+    (no-copy serving). Pad slots (rmap < 0) get zero role one-hots, so the
+    fused kernel's admissibility matmul rejects them for every query."""
+    global _GATHER_FN
+    if _GATHER_FN is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def _go(rmap, vq, nq, r8):
+            safe = jnp.maximum(rmap, 0)
+            v = jnp.take(vq, safe, axis=0)
+            n = jnp.take(nq, safe, axis=0)
+            r = jnp.where((rmap >= 0)[:, None],
+                          jnp.take(r8, safe, axis=0), jnp.int8(0))
+            return v, n, r
+
+        _GATHER_FN = _go
+    return _GATHER_FN(rmap, vq, nq, r8)
+
+
+_JITS = None
+
+
+def _lazy_jits():
+    """Build the pass-level jitted helpers once (jax imported lazily)."""
+    global _JITS
+    if _JITS is not None:
+        return _JITS
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.pallas_scan_int8 import (
+        expand_masks_device, int8_masked_topk, int8_masked_topk_wide,
+        pack_results_device,
+    )
+
+    @functools.partial(
+        jax.jit, static_argnames=("npq", "d", "w", "r_pad", "has_bias", "dq"))
+    def _unpack(buf, npq, d, w, r_pad, has_bias, dq):
+        """ONE uint8 pass buffer -> (q8, qn, one-hot masks, bias?, qf?)."""
+        off = 0
+        q8 = jax.lax.bitcast_convert_type(
+            buf[off:off + npq * d].reshape(npq, d), jnp.int8)
+        off += npq * d
+        qn = jax.lax.bitcast_convert_type(
+            buf[off:off + npq * 4].reshape(npq, 4), jnp.int32)
+        off += npq * 4
+        mk = jax.lax.bitcast_convert_type(
+            buf[off:off + npq * 4 * w].reshape(npq, w, 4), jnp.uint32)
+        off += npq * 4 * w
+        bias = None
+        if has_bias:
+            bias = jax.lax.bitcast_convert_type(
+                buf[off:off + npq * 4].reshape(npq, 4), jnp.float32)
+            off += npq * 4
+        qf = None
+        if dq:
+            qf = jax.lax.bitcast_convert_type(
+                buf[off:off + npq * 4 * dq].reshape(npq, dq, 4), jnp.float32)
+        return q8, qn, expand_masks_device(mk, r_pad), bias, qf
+
+    def _unpack_entry(buf, npq, d, w, r_pad, has_bias, dq):
+        return _unpack(buf, npq=npq, d=d, w=w, r_pad=r_pad,
+                       has_bias=bool(has_bias), dq=dq)
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("batch", "k", "kk", "q_tile", "block_rows",
+                         "group", "merge", "interpret", "metric",
+                         "kernel_metric", "wide", "id_bits", "wire"))
+    def _scan_pack(q8_all, qn_all, m8_all, bias_all, qf_all, start,
+                   vq, nq_, r8, row_map, inv, mirror_vec, mirror_norms,
+                   batch, k, kk, q_tile, block_rows, group, merge,
+                   interpret, metric, kernel_metric, wide, id_bits, wire):
+        """ONE dispatch per batch: slice the pass arrays, run the fused
+        kernel, optional f32 rerank, local->arena id map, wire-pack."""
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, batch)
+        kern = int8_masked_topk_wide if wide else int8_masked_topk
+        d, i = kern(
+            sl(q8_all), sl(qn_all), vq, nq_, r8, sl(m8_all), inv, kk,
+            q_tile=q_tile, block_rows=block_rows, group=group, merge=merge,
+            interpret=interpret, metric=kernel_metric,
+            query_bias=sl(bias_all) if bias_all is not None else None,
+        )
+        if qf_all is not None:   # rerank tier
+            qf = sl(qf_all)
+            if metric == "cosine":
+                qf = qf / jnp.maximum(
+                    jnp.linalg.norm(qf, axis=1, keepdims=True), 1e-30)
+            safe = jnp.maximum(i, 0)
+            x = jnp.take(mirror_vec, safe, axis=0).astype(jnp.float32)
+            dots = jnp.einsum("qd,qkd->qk", qf, x,
+                              preferred_element_type=jnp.float32)
+            if metric == "l2":
+                nrm = jnp.take(mirror_norms, safe, axis=0)
+                dd = jnp.maximum(
+                    nrm - 2.0 * dots
+                    + jnp.sum(qf * qf, axis=1, keepdims=True), 0.0)
+            elif metric == "cosine":
+                dd = jnp.clip(1.0 - dots, 0.0, 2.0)
+            else:
+                dd = -dots
+            dd = jnp.where(i >= 0, dd, jnp.inf)
+            neg, pos = jax.lax.top_k(-dd, k)
+            d = -neg
+            i = jnp.take_along_axis(i, pos, axis=1)
+        if row_map is not None:
+            i = jnp.where(i < 0, -1,
+                          jnp.take(row_map, jnp.maximum(i, 0)))
+        return pack_results_device(d[:, :k], i[:, :k], id_bits=id_bits,
+                                   dist=wire)
+
+    _JITS = (_unpack_entry, _scan_pack)
+    return _JITS
+
+
+def _unpack_pass(*a, **kw):
+    fn, _ = _lazy_jits()
+    return fn(*a, **kw)
+
+
+def _scan_pack_batch(*a, **kw):
+    _, fn = _lazy_jits()
+    return fn(*a, **kw)
+
+
 class Int8FlatIndex:
     def __init__(
         self,
@@ -37,9 +170,21 @@ class Int8FlatIndex:
         group: int = 128,
         rerank: Optional[bool] = None,  # None = auto (rerank iff lossy)
         rerank_margin: int = 32,
-        dist16: bool = True,   # wire distances as bf16 (global path) or
-                               # full f32 (partition tiers feeding a
-                               # cross-partition merge)
+        dist16: bool = True,   # legacy wire flag: bf16 (True) / f32 (False)
+        wire: Optional[str] = None,  # "u8" | "bf16" | "f32" — overrides
+                               # dist16. u8 (per-query affine distance code,
+                               # 3.6 B/result) is the global-path default
+                               # via cfg.search.wire_dist: measured 40k ->
+                               # 71k QPS on the 16k-query 1M pass
+                               # (scripts/r3_perf_lab.py). f32 for partition
+                               # tiers feeding a cross-partition merge.
+        logical: bool = False,  # no-copy mode: keep only the row map on
+                                # device and gather the partition's int8
+                                # rows from the SHARED arena at query time
+                                # (the flat-scan analog of the reference's
+                                # pointer partitions over one shared vector
+                                # table, shared_vector_table.h:18) — trades
+                                # a per-pass gather for zero duplication
     ):
         import jax
 
@@ -47,30 +192,53 @@ class Int8FlatIndex:
             "Int8FlatIndex needs an int8-quantized arena"
         )
         q = arena.quant
+        self.metric = arena.metric
+        # packed-epilogue invariant (score << 7 | lane needs |score| < 2^23);
+        # quantize_corpus clamps the span so this holds for any d, but guard
+        # against hand-built ArenaQuant instances that skip the clamp
+        assert 3 * q.vectors_q.shape[1] * q.qclip**2 < 2**23, (
+            f"int8 span {q.qclip} too wide for d_pad={q.vectors_q.shape[1]}: "
+            "packed group-min epilogue would overflow int32"
+        )
         self._arena = arena
         self.query_batch = query_batch
         self.q_tile = min(q_tile, query_batch)
         self.block_rows = block_rows
         self.group = group
 
-        # VMEM discipline: the defaults are sized for d=128; wide corpora
-        # (768-d cohere shapes) must shrink tiles or Mosaic's 16 MB
-        # scoped-vmem allocation fails at compile time. Empirical limits
-        # from scripts/wide_d_probe.py on v5e (d=768 grid): the streamed
-        # vector+role block must stay <= ~3.7 MB and the query tile
-        # <= ~0.92 MB — the d=128 defaults (8192, 2048) sit exactly at
-        # those bounds.
+        # VMEM discipline. Narrow corpora (d <= 256) stream full (rows, d)
+        # blocks; the shrink loops keep them inside Mosaic's 16 MB scoped
+        # VMEM (limits probed on-chip: scripts/wide_d_probe.py). Wide
+        # corpora (768-d cohere shapes) switch to the d-SPLIT kernel
+        # (ops/pallas_scan_int8.int8_masked_topk_wide): the reduction
+        # dimension joins the grid and partial dots accumulate in a VMEM
+        # scratch, so row/query tiles stay full-size instead of shrinking
+        # ~8x (the round-2 1.3k-QPS limiter, PERF.md 768-d section).
         d_pad = q.vectors_q.shape[1]
         unit = d_pad + q.r_pad
-        while self.block_rows > 1024 and self.block_rows * unit > 3_700_000:
-            self.block_rows //= 2
-        while self.q_tile > 256 and self.q_tile * unit > 940_000:
-            self.q_tile //= 2
+        self.wide = d_pad > 256
+        if self.wide:
+            self.block_rows = min(self.block_rows, 2048)
+            self.q_tile = min(self.q_tile, 512)
+            # accumulator scratch (block_rows, q_tile) int32 <= ~4.5 MB
+            while (self.block_rows > 512
+                   and self.block_rows * self.q_tile * 4 > 4_500_000):
+                self.block_rows //= 2
+        else:
+            while self.block_rows > 1024 and self.block_rows * unit > 3_700_000:
+                self.block_rows //= 2
+            while self.q_tile > 256 and self.q_tile * unit > 940_000:
+                self.q_tile //= 2
         block_rows = self.block_rows
-        self.rerank = (not q.lossless) if rerank is None else rerank
+        # non-l2 metrics quantize queries lossily (own per-call scale) —
+        # rerank restores exact order from the full-precision mirror
+        self.rerank = ((not q.lossless or self.metric != "l2")
+                       if rerank is None else rerank)
         self.rerank_margin = rerank_margin
         self.dist16 = dist16
+        self.wire = wire or ("bf16" if dist16 else "f32")
 
+        self.logical = logical and rows is not None
         if rows is None:
             self.n_rows = arena.n
             self._vq = q.vectors_q
@@ -78,6 +246,17 @@ class Int8FlatIndex:
             self._r8 = q.roles8
             self._row_map = None
             self._gathered = False
+        elif self.logical:
+            from .flat import _pad_to_bucket
+
+            rows = np.asarray(rows, dtype=np.int64)
+            self.n_rows = len(rows)
+            npad = _pad_to_bucket(max(self.n_rows, 1), block_rows)
+            rmap = np.concatenate(
+                [rows, np.full(npad - self.n_rows, -1)]).astype(np.int32)
+            self._row_map = jax.device_put(rmap)
+            self._vq = self._nq = self._r8 = None   # gathered per pass
+            self._gathered = True
         else:
             from .flat import _pad_to_bucket
 
@@ -102,7 +281,8 @@ class Int8FlatIndex:
         # only 1024 candidates for a top-100 query (recall < 0.95, caught
         # by bench --smoke). Keep >= 8192 groups where the row count
         # allows.
-        npad_rows = self._vq.shape[0]
+        npad_rows = (self._row_map.shape[0] if self._vq is None
+                     else self._vq.shape[0])
         fit = npad_rows // 8192
         if fit >= 8:
             self.group = min(self.group, 1 << (fit.bit_length() - 1))
@@ -119,13 +299,16 @@ class Int8FlatIndex:
         import jax
         import jax.numpy as jnp
 
-        from ..ops.pallas_scan_int8 import (
-            expand_masks_device, int8_masked_topk, pack_results_device,
-            unpack_results_host,
-        )
-        from .flat import _map_rows
+        from ..ops.pallas_scan_int8 import unpack_results_host
 
         quant = self._quant
+        if self.logical:
+            # no-copy: gather this partition's rows from the shared arena
+            # ONCE per pass (device-side; pad rows -> inadmissible zeros)
+            vq_d, nq_d, r8_d = _gather_logical(
+                self._row_map, quant.vectors_q, quant.norms_q, quant.roles8)
+        else:
+            vq_d, nq_d, r8_d = self._vq, self._nq, self._r8
         qf = np.asarray(queries, dtype=np.float32)
         masks = np.ascontiguousarray(query_masks, dtype=np.uint32)
         nq = qf.shape[0]
@@ -135,70 +318,91 @@ class Int8FlatIndex:
         pow2 = 1 << (max(nq, 1) - 1).bit_length()
         bs = min(self.query_batch, max(pow2, 32))
         q_tile = min(self.q_tile, bs)
-        q8, qn = quant.quantize_queries(qf)
-        inv = jnp.float32(1.0 / quant.scale**2)
+        kernel_metric = "l2" if self.metric == "l2" else "ip"
+        if self.metric == "l2":
+            q8, qn = quant.quantize_queries(qf)
+            inv = jnp.float32(1.0 / quant.scale**2)
+            bias = None
+        else:
+            q8, inv_f, bias = quant.quantize_queries_ip(
+                qf, cosine=self.metric == "cosine")
+            qn = np.zeros(nq, dtype=np.int32)
+            inv = jnp.float32(inv_f)
         r_pad = quant.r_pad
         # Mosaic kernels need a TPU; CPU (tests) runs the interpreter
         interp = jax.default_backend() == "cpu"
+        wire_fmt = self.wire if (self.wire != "u8" or k % 2 == 0) else "bf16"
+        kk = k + self.rerank_margin if self.rerank else k
 
+        # ONE packed host buffer + ONE device_put for the whole pass (the
+        # tunnel charges ~24 ms of floor per call and ~50-75 MB/s; per-
+        # batch per-array uploads were the round-2 pass's hidden serial
+        # term — measured in scripts/r3_perf_lab.py section A), then one
+        # fused scan+rerank+pack dispatch per batch whose async D2H copy
+        # overlaps later batches' compute.
+        npq = -(-nq // bs) * bs
+        d_cols = q8.shape[1]
+        w = masks.shape[1]
+        parts = [np.zeros(npq * d_cols, np.uint8),
+                 np.zeros(npq * 4, np.uint8),
+                 np.zeros(npq * 4 * w, np.uint8)]
+        parts[0][: nq * d_cols] = q8.view(np.uint8).reshape(-1)
+        parts[1][: nq * 4] = qn.view(np.uint8).reshape(-1)
+        parts[2][: nq * 4 * w] = masks.view(np.uint8).reshape(-1)
+        has_bias = bias is not None
+        if has_bias:
+            bb = np.zeros(npq * 4, np.uint8)
+            bb[: nq * 4] = bias.astype(np.float32).view(np.uint8).reshape(-1)
+            parts.append(bb)
+        # the rerank tier rescores against the f32 mirror, so the float
+        # queries ride the pass buffer too (only when rerank is on — the
+        # lossless l2 path keeps the 148 B/query wire)
+        if self.rerank:
+            qb = np.zeros(npq * 4 * qf.shape[1], np.uint8)
+            qb[: nq * 4 * qf.shape[1]] = qf.view(np.uint8).reshape(-1)
+            parts.append(qb)
+        buf = jax.device_put(np.concatenate(parts))
+        q8j, qnj, m8j, biasj, qfj = _unpack_pass(
+            buf, npq, d_cols, w, r_pad, has_bias,
+            qf.shape[1] if self.rerank else 0)
+
+        mirror_vec = self._arena.vectors if self.rerank else None
+        mirror_norms = self._arena.norms if self.rerank else None
         pending = []
-        for s in range(0, nq, bs):
-            e = min(s + bs, nq)
-            if e - s == bs:
-                q8b, qnb, mb = q8[s:e], qn[s:e], masks[s:e]
-            else:
-                q8b = np.zeros((bs, q8.shape[1]), dtype=np.int8)
-                qnb = np.zeros(bs, dtype=np.int32)
-                mb = np.zeros((bs, masks.shape[1]), dtype=np.uint32)
-                q8b[: e - s] = q8[s:e]
-                qnb[: e - s] = qn[s:e]
-                mb[: e - s] = masks[s:e]
-            # masks travel as uint32 bitsets (16 B/query) and expand to the
-            # int8 one-hot on device — 8x less host->device traffic
-            m8b = expand_masks_device(jnp.asarray(mb), r_pad)
-            kk = k + self.rerank_margin if self.rerank else k
-            d, i = int8_masked_topk(
-                jnp.asarray(q8b), jnp.asarray(qnb), self._vq, self._nq,
-                self._r8, m8b, inv, kk,
-                q_tile=q_tile, block_rows=self.block_rows,
-                group=self.group, merge="auto", interpret=interp,
+        for s in range(0, npq, bs):
+            wire = _scan_pack_batch(
+                q8j, qnj, m8j, biasj, qfj, jnp.int32(s),
+                vq_d, nq_d, r8_d, self._row_map, inv,
+                mirror_vec, mirror_norms,
+                batch=bs, k=k, kk=kk, q_tile=q_tile,
+                block_rows=self.block_rows, group=self.group,
+                merge="auto", interpret=interp, metric=self.metric,
+                kernel_metric=kernel_metric, wide=self.wide,
+                id_bits=self._id_bits, wire=wire_fmt,
             )
-            if self.rerank:
-                d, i = _rerank_f32(
-                    jnp.asarray(qf[s:e] if e - s == bs else
-                                np.concatenate([qf[s:e], np.zeros((bs - (e - s), qf.shape[1]), np.float32)])),
-                    d, i, self._arena, k,
-                )
-            if self._row_map is not None:
-                i = _map_rows(i, self._row_map)
-            # one packed uint16 wire array per batch (bf16 dist + nibble-
-            # packed ids); async device->host copy overlaps later batches'
-            # compute with this batch's tunnel transfer
-            wire = pack_results_device(d[:, :k], i[:, :k],
-                                       id_bits=self._id_bits,
-                                       dist16=self.dist16)
             try:
                 wire.copy_to_host_async()
             except (AttributeError, RuntimeError):
                 pass
-            pending.append((s, e, wire))
+            pending.append((s, min(s + bs, nq), wire))
 
         def finalize():
             out_d = np.empty((nq, k), dtype=np.float32)
             out_i = np.empty((nq, k), dtype=np.int64)
-            # concurrent device->host fetches overlap tunnel RTTs (measured
-            # ~2x over sequential asarray, scripts/fetch_concurrency.py)
+            # concurrent device->host fetches overlap tunnel RTTs (8 threads
+            # measured best: 74.5 MB/s vs 27.9 single-stream,
+            # scripts/r3_perf_lab.py section A)
             if len(pending) > 1:
                 from concurrent.futures import ThreadPoolExecutor
 
-                with ThreadPoolExecutor(min(len(pending), 4)) as pool:
+                with ThreadPoolExecutor(min(len(pending), 8)) as pool:
                     wires = list(pool.map(
                         np.asarray, [w for _, _, w in pending]))
             else:
                 wires = [np.asarray(w) for _, _, w in pending]
             for (s, e, _), w in zip(pending, wires):
                 d, i = unpack_results_host(w, k, id_bits=self._id_bits,
-                                           dist16=self.dist16)
+                                           dist=wire_fmt)
                 out_d[s:e] = d[: e - s]
                 out_i[s:e] = i[: e - s]
             return out_d, out_i
@@ -211,30 +415,13 @@ class Int8FlatIndex:
     # ------------------------------------------------------------ storage
 
     def storage_bytes(self) -> Dict[str, int]:
+        if not self._gathered:
+            return {"vectors": 0, "index": 0}  # arena-shared, counted there
+        if self.logical:
+            # no-copy: the row map is the whole per-partition footprint
+            return {"vectors": 0, "index": int(self._row_map.shape[0] * 4)}
         npad, d = self._vq.shape
         r = self._r8.shape[1]
         vec = npad * d          # int8
-        aux = npad * (r + 4 + (4 if self._gathered else 0))
-        if not self._gathered:
-            return {"vectors": 0, "index": 0}  # arena-shared, counted there
+        aux = npad * (r + 4 + 4)
         return {"vectors": int(vec), "index": int(aux)}
-
-
-def _rerank_f32(queries_f32, dists_q, idx, arena: DeviceArena, k: int):
-    """Re-score candidate ids against the full-precision arena and return
-    exact-order (k) results. Keeps -1 pads."""
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def _go(qf, i, vec, norms):
-        safe = jnp.maximum(i, 0)
-        x = jnp.take(vec, safe, axis=0).astype(jnp.float32)   # (Q, kk, d)
-        nrm = jnp.take(norms, safe, axis=0)
-        dots = jnp.einsum("qd,qkd->qk", qf, x, preferred_element_type=jnp.float32)
-        d = nrm - 2.0 * dots + jnp.sum(qf * qf, axis=1, keepdims=True)
-        d = jnp.where(i >= 0, jnp.maximum(d, 0.0), jnp.inf)
-        neg, pos = jax.lax.top_k(-d, k)
-        return -neg, jnp.take_along_axis(i, pos, axis=1)
-
-    return _go(queries_f32, idx, arena.vectors, arena.norms)

@@ -223,6 +223,14 @@ class HNSWIndex:
         m_beta: int = 64,    # dense layer-0 width for builder="acorn"
         seed: int = 0,
         graph_state: Optional[dict] = None,  # from .graph_state(): skip build
+        logical: bool = False,  # no-copy mode: serve from the SHARED arena
+                                # via row_map indirection — per-partition
+                                # storage is the graph + row map only (the
+                                # reference's pointer-HNSW over one shared
+                                # vector table, logical_partition_benchmark/
+                                # benchmark/src/pointer_hnsw_index.cpp:77);
+                                # False = gathered per-partition copies (its
+                                # "physical" arm)
     ):
         import jax
         import jax.numpy as jnp
@@ -230,6 +238,12 @@ class HNSWIndex:
         self.m = m
         self.ef_search = ef_search
         self.query_batch = query_batch
+        self.logical = logical
+        # serving metric follows the arena. Graph CONSTRUCTION is L2-based;
+        # for "cosine" the arena rows are unit vectors so L2 order == cosine
+        # order (exact); for "ip" the L2 graph is a navigable proxy (pair
+        # with iterative/sampled_entry search for best recall)
+        self.metric = arena.metric
 
         if arena.host_vectors is not None:
             host_vec, host_norm, host_bits = (
@@ -247,6 +261,18 @@ class HNSWIndex:
         self.n_rows = len(rows)
         vec = np.ascontiguousarray(host_vec[rows], dtype=np.float32)
         n, d = vec.shape
+        if self.metric == "ip" and n:
+            # MIPS-to-L2 build transform (Bachrach et al.; the standard way
+            # to reuse an L2 graph builder for max-inner-product): append
+            # sqrt(M^2 - ||x||^2) so L2 proximity in the lifted space tracks
+            # inner-product order. Serving still traverses with -q.x scores
+            # on the ORIGINAL vectors; only edge selection uses the lift.
+            nrm2 = np.einsum("nd,nd->n", vec, vec)
+            lift = np.sqrt(np.maximum(float(nrm2.max()) - nrm2, 0.0))
+            vec_build = np.concatenate(
+                [vec, lift[:, None].astype(np.float32)], axis=1)
+        else:
+            vec_build = vec
 
         if builder == "auto":
             builder = "tpu" if n > 50_000 else "classic"
@@ -264,10 +290,10 @@ class HNSWIndex:
         elif builder == "classic":
             if native.available():
                 nbr, levels, entry, _ = native.hnsw_build(
-                    vec, m=m, ef_construction=ef_construction, seed=seed
+                    vec_build, m=m, ef_construction=ef_construction, seed=seed
                 )
             else:
-                nbr, entry = _python_fallback_graph(vec, m, seed)
+                nbr, entry = _python_fallback_graph(vec_build, m, seed)
         elif builder == "acorn":
             # ACORN-gamma build-side densification (reference
             # acorn_benchmark/src/index_creation.cpp:105): dense layer-0
@@ -276,16 +302,16 @@ class HNSWIndex:
             if not native.available():
                 raise RuntimeError("acorn builder needs the native library")
             nbr, levels, entry, _ = native.hnsw_build_acorn(
-                vec, m=m, m_beta=m_beta,
+                vec_build, m=m, m_beta=m_beta,
                 ef_construction=ef_construction, seed=seed
             )
         elif builder == "tpu":
             if not native.available():
                 raise RuntimeError("tpu builder needs the native prune library")
             if n > 200_000:  # quadratic exact kNN too costly: IVF-assisted
-                knn = _device_knn_graph_ivf(vec, k=knn_k, seed=seed)
+                knn = _device_knn_graph_ivf(vec_build, k=knn_k, seed=seed)
             else:
-                knn = _device_knn_graph(vec, k=knn_k)
+                knn = _device_knn_graph(vec_build, k=knn_k)
             # Vamana-style construction: kNN candidates + random long-range
             # candidates (navigability seeds), alpha-RNG prune, then a
             # search-based refinement pass. The random edges and the
@@ -296,11 +322,11 @@ class HNSWIndex:
             rand_edges = rng_.integers(0, n, size=(n, 16), dtype=np.int64)
             cand0 = np.concatenate(
                 [knn[:, 1:], rand_edges.astype(np.int32)], axis=1)
-            nbr = native.rng_prune(vec, cand0, m=m, alpha=alpha)
+            nbr = native.rng_prune(vec_build, cand0, m=m, alpha=alpha)
             # entry: medoid-ish — node closest to the mean
-            mean = vec.mean(axis=0, keepdims=True)
-            entry = int(np.argmin(((vec - mean) ** 2).sum(axis=1)))
-            nbr = _vamana_refine(vec, nbr, entry, m=m, alpha=alpha,
+            mean = vec_build.mean(axis=0, keepdims=True)
+            entry = int(np.argmin(((vec_build - mean) ** 2).sum(axis=1)))
+            nbr = _vamana_refine(vec_build, nbr, entry, m=m, alpha=alpha,
                                  knn=knn[:, 1:], seed=seed)
         else:
             raise ValueError(f"unknown builder {builder}")
@@ -315,18 +341,25 @@ class HNSWIndex:
         # many-partition strategies
         npad = max(1024, 1 << (max(n, 1) - 1).bit_length())
         pad = npad - n
-        gvec = np.concatenate([vec, np.zeros((pad, d), np.float32)])
-        gnorm = np.concatenate([host_norm[rows], np.zeros(pad, np.float32)])
-        gbits = np.concatenate(
-            [host_bits[rows], np.zeros((pad, host_bits.shape[1]), np.uint32)]
-        )
         ggraph = np.concatenate([nbr, np.full((pad, m0), -1, np.int32)])
         rmap = np.concatenate([rows, np.full(pad, -1)]).astype(np.int32)
 
-        compute_dtype = arena.vectors.dtype
-        self._vectors = jax.device_put(gvec.astype(compute_dtype))
-        self._norms = jax.device_put(gnorm)
-        self._bits = jax.device_put(gbits)
+        if logical:
+            # no-copy: the vector table IS the shared arena; per-partition
+            # device storage is the local graph + the row map only
+            self._vectors = arena.vectors
+            self._norms = arena.norms
+            self._bits = arena.role_bits
+        else:
+            gvec = np.concatenate([vec, np.zeros((pad, d), np.float32)])
+            gnorm = np.concatenate([host_norm[rows], np.zeros(pad, np.float32)])
+            gbits = np.concatenate(
+                [host_bits[rows], np.zeros((pad, host_bits.shape[1]), np.uint32)]
+            )
+            compute_dtype = arena.vectors.dtype
+            self._vectors = jax.device_put(gvec.astype(compute_dtype))
+            self._norms = jax.device_put(gnorm)
+            self._bits = jax.device_put(gbits)
         self._graph = jax.device_put(ggraph)
         self._row_map = jax.device_put(rmap)
         avg_deg = float((nbr >= 0).sum(axis=1).mean())
@@ -351,6 +384,16 @@ class HNSWIndex:
         rows = np.asarray(rows, dtype=np.int64)
         if len(rows) == 0:
             return
+        # sub-batch so later rows' candidate searches SEE earlier inserts
+        # (pgvector's sequential hnswinsert.c lets same-batch rows link up;
+        # one graph pass over the pre-insert graph cannot). 4096 bounds the
+        # number of device re-uploads while keeping clustered bulk loads
+        # connected across sub-batches; within one sub-batch the shared-
+        # candidate augmentation below links co-located members.
+        if len(rows) > 4096:
+            for s in range(0, len(rows), 4096):
+                self.insert_rows(arena, rows[s:s + 4096], ef_construction)
+            return
         efc = ef_construction or max(self.m * 2, 48)
         if arena.host_vectors is not None:
             hv, hn, hb = arena.host_vectors, arena.host_norms, arena.host_bits
@@ -361,7 +404,19 @@ class HNSWIndex:
         new_vec = np.ascontiguousarray(hv[rows], dtype=np.float32)
 
         graph = np.array(self._graph)              # mutable host copies
-        vec_all = np.array(self._vectors, dtype=np.float32)
+        rmap_all = np.array(self._row_map)
+        if self.logical:
+            # local mirrors come FROM the shared table via the row map; the
+            # device table itself is untouched by an insert (the new rows
+            # are arena rows and already live there)
+            safe = np.maximum(rmap_all, 0)
+            vec_all = hv[safe].astype(np.float32)
+            norms_all = np.asarray(hn[safe])
+            bits_all = np.asarray(hb[safe])
+        else:
+            vec_all = np.array(self._vectors, dtype=np.float32)
+            norms_all = np.array(self._norms)
+            bits_all = np.array(self._bits)
         m0 = graph.shape[1]
         n_old, n_new = self.n_rows, len(rows)
 
@@ -369,7 +424,7 @@ class HNSWIndex:
         cand = np.full((n_new, min(efc, 32)), -1, dtype=np.int32)
         bs = 1024
         masks = jnp.ones((bs, 1), dtype=jnp.uint32)
-        ones_bits = jnp.ones((vec_all.shape[0], 1), dtype=jnp.uint32)
+        ones_bits = jnp.ones((self._vectors.shape[0], 1), dtype=jnp.uint32)
         pending = []
         for s in range(0, n_new, bs):
             e = min(s + bs, n_new)
@@ -378,6 +433,7 @@ class HNSWIndex:
             _, ids = graph_search_fn(
                 jnp.asarray(qb), self._vectors, self._norms, ones_bits,
                 self._graph, masks, self.entry, cand.shape[1], efc,
+                row_map=self._row_map if self.logical else None,
             )
             pending.append((s, e, ids))
         for s, e, ids in pending:
@@ -388,9 +444,6 @@ class HNSWIndex:
         npad_new = max(1024, 1 << (n_total - 1).bit_length())
         npad_old = graph.shape[0]
         d = vec_all.shape[1]
-        norms_all = np.array(self._norms)
-        bits_all = np.array(self._bits)
-        rmap_all = np.array(self._row_map)
         if npad_new != npad_old:
             def _grow(a, fill):
                 out = np.full((npad_new,) + a.shape[1:], fill, dtype=a.dtype)
@@ -410,9 +463,17 @@ class HNSWIndex:
         # HnswFindElementNeighbors + RNG heuristic), then reverse edges
         # with overflow re-prune
         alpha = 1.2
+        # shared-candidate map: old node -> already-inserted batch members
+        # that listed it — lets same-sub-batch rows become each other's
+        # neighbors (they are invisible to the pre-insert graph search)
+        seen_by_cand: dict = {}
         for j in range(n_new):
             nid = n_old + j
             cids = [c for c in cand[j].tolist() if c >= 0]
+            peers = {p for c in cids for p in seen_by_cand.get(c, ())}
+            for c in cids:
+                seen_by_cand.setdefault(c, []).append(nid)
+            cids.extend(peers)
             if not cids:
                 graph[nid, :] = -1
                 continue
@@ -444,16 +505,124 @@ class HNSWIndex:
                     if (((vec_all[nid] - vec_all[c]) ** 2).sum() < dn[worst]):
                         graph[c, worst] = nid
 
-        # 4) re-upload device arrays
-        compute_dtype = self._vectors.dtype
-        self._vectors = jax.device_put(vec_all.astype(compute_dtype))
-        self._norms = jax.device_put(norms_all)
-        self._bits = jax.device_put(bits_all)
+        # 4) re-upload device arrays (logical mode: graph + row map only —
+        # the shared table already holds the new rows)
+        if not self.logical:
+            compute_dtype = self._vectors.dtype
+            self._vectors = jax.device_put(vec_all.astype(compute_dtype))
+            self._norms = jax.device_put(norms_all)
+            self._bits = jax.device_put(bits_all)
         self._graph = jax.device_put(np.ascontiguousarray(graph))
         self._row_map = jax.device_put(rmap_all)
         self.n_rows = n_total
+        # sampled-entry cache covers only pre-insert rows — rebuild lazily
+        if hasattr(self, "_entry_sample"):
+            del self._entry_sample
         logger.info("inserted %d rows (now %d, npad %d)",
                     n_new, n_total, graph.shape[0])
+
+    def delete_rows(self, arena: DeviceArena, rows: np.ndarray) -> int:
+        """Row-level delete with graph repair — the pgvector HNSW vacuum
+        analog (reference pgvector/src/hnswvacuum.c: HnswRepairGraph
+        rewires every element that pointed at a deleted element before the
+        deleted pages are recycled). Host-side repair, one device
+        re-upload:
+
+        - deleted nodes leave every neighbor list; each affected live node
+          repairs with candidates = its live neighbors + the deleted
+          neighbor's live neighbors (routing through the hole), alpha-RNG
+          pruned to M0 — connectivity across the hole is preserved;
+        - deleted nodes' own lists empty, so they are unreachable;
+        - physical mode zeroes their role bits (never returnable even
+          before the caller tombstones the arena); logical mode relies on
+          core.tombstone_rows zeroing the SHARED arena bits;
+        - entry / sampled-entry state moves off deleted nodes.
+
+        Storage is unchanged until a rebuild over core.compact_corpus (the
+        actual VACUUM reclaim). Returns the number of rows deleted."""
+        import jax
+
+        rows = np.asarray(rows, dtype=np.int64)
+        rmap = np.asarray(self._row_map)
+        local_of = {int(r): i for i, r in enumerate(rmap[: self.n_rows])}
+        dels = np.asarray(sorted(local_of[int(r)] for r in rows
+                                 if int(r) in local_of), dtype=np.int64)
+        if len(dels) == 0:
+            return 0
+        graph = np.array(self._graph)
+        npad = graph.shape[0]
+        is_del = np.zeros(npad, dtype=bool)
+        is_del[dels] = True
+        if not hasattr(self, "_deleted_local"):
+            self._deleted_local = np.zeros(npad, dtype=bool)
+        self._deleted_local[dels] = True
+
+        if arena.host_vectors is not None:
+            hv = arena.host_vectors
+        else:
+            hv = np.asarray(arena.vectors, dtype=np.float32)
+
+        def vec_of(local_ids):
+            return hv[rmap[np.asarray(local_ids, dtype=np.int64)]].astype(
+                np.float32)
+
+        # live nodes holding an edge to a deleted node
+        hit = np.isin(graph, dels) & (graph >= 0)
+        affected = np.nonzero(hit.any(axis=1) & ~is_del)[0]
+        alpha = 1.2
+        for node in affected.tolist():
+            nbrs = graph[node]
+            live = [int(c) for c in nbrs if c >= 0 and not is_del[c]]
+            cand = set(live)
+            for c in nbrs:
+                if c >= 0 and is_del[c]:
+                    cand.update(int(x) for x in graph[c]
+                                if x >= 0 and not is_del[x] and x != node)
+            cand.discard(node)
+            cids = sorted(cand)
+            if not cids:
+                graph[node, :] = -1
+                continue
+            base = vec_of([node])[0]
+            dists = ((vec_of(cids) - base) ** 2).sum(axis=1)
+            order = np.argsort(dists, kind="stable")
+            kept: list = []
+            kept_vecs: list = []
+            for oi in order:
+                if len(kept) >= graph.shape[1]:
+                    break
+                dc = dists[oi]
+                cv = vec_of([cids[oi]])[0]
+                if any(((cv - kv) ** 2).sum() * alpha < dc for kv in kept_vecs):
+                    continue
+                kept.append(cids[oi])
+                kept_vecs.append(cv)
+            graph[node, : len(kept)] = kept
+            graph[node, len(kept):] = -1
+        graph[dels, :] = -1
+
+        # entry repair: nearest live node to the old entry
+        if is_del[self.entry]:
+            live_nodes = np.nonzero(~self._deleted_local[: self.n_rows])[0]
+            if len(live_nodes):
+                ev = vec_of([self.entry])[0]
+                sub = live_nodes[np.random.default_rng(0).permutation(
+                    len(live_nodes))[: 4096]]
+                self.entry = int(sub[np.argmin(
+                    ((vec_of(sub) - ev) ** 2).sum(axis=1))])
+            else:
+                self.entry = 0
+
+        if not self.logical:
+            bits = np.array(self._bits)
+            bits[dels] = 0
+            self._bits = jax.device_put(bits)
+        self._graph = jax.device_put(np.ascontiguousarray(graph))
+        if hasattr(self, "_entry_sample"):
+            del self._entry_sample
+        logger.info("deleted %d rows (graph repaired at %d nodes)",
+                    len(dels), len(affected))
+        return len(dels)
 
     def _sampled_entries(self, q: np.ndarray, sample: int = 1024,
                          seed: int = 0) -> np.ndarray:
@@ -469,20 +638,29 @@ class HNSWIndex:
         if not hasattr(self, "_entry_sample"):
             rng = np.random.default_rng(seed)
             n = self.n_rows
-            ids = (np.arange(n, dtype=np.int32) if n <= sample
-                   else rng.choice(n, sample, replace=False).astype(np.int32))
-            self._entry_sample = jax.device_put(jnp.asarray(np.sort(ids)))
+            pool = np.arange(n, dtype=np.int32)
+            if hasattr(self, "_deleted_local"):
+                pool = pool[~self._deleted_local[:n]]
+            ids = np.sort(pool if len(pool) <= sample
+                          else rng.choice(pool, sample, replace=False).astype(np.int32))
+            # vector-table rows for the sample (== ids unless logical)
+            trows = (np.asarray(self._row_map)[ids] if self.logical else ids)
+            self._entry_sample = (jax.device_put(jnp.asarray(ids)),
+                                  jax.device_put(jnp.asarray(trows)))
 
-        @functools.partial(jax.jit)
-        def _nearest(qb, vec, norms, ids):
-            x = jnp.take(vec, ids, axis=0).astype(jnp.float32)   # (S, d)
-            nrm = jnp.take(norms, ids, axis=0)
+        @functools.partial(jax.jit, static_argnames=("metric",))
+        def _nearest(qb, vec, norms, ids, trows, metric):
+            if metric == "cosine":
+                qb = qb / jnp.maximum(
+                    jnp.linalg.norm(qb, axis=1, keepdims=True), 1e-30)
+            x = jnp.take(vec, trows, axis=0).astype(jnp.float32)   # (S, d)
+            nrm = jnp.take(norms, trows, axis=0)
             dots = jnp.dot(qb, x.T, preferred_element_type=jnp.float32)
-            s = nrm[None, :] - 2.0 * dots
-            return jnp.take(ids, jnp.argmin(s, axis=1))
+            s = (nrm[None, :] - 2.0 * dots) if metric == "l2" else -dots
+            return jnp.take(ids, jnp.argmin(s, axis=1))   # LOCAL ids
 
         out = _nearest(jnp.asarray(q), self._vectors, self._norms,
-                       self._entry_sample)
+                       *self._entry_sample, metric=self.metric)
         return np.asarray(out)
 
     def graph_state(self) -> dict:
@@ -558,6 +736,8 @@ class HNSWIndex:
                     jnp.asarray(qb), self._vectors, self._norms, self._bits,
                     self._graph, jnp.asarray(mb), jnp.asarray(ent), kk, ef,
                     ms, harvest_2hop,
+                    row_map=self._row_map if self.logical else None,
+                    metric=self.metric,
                 )
             else:
                 fn = (graph_search_filtered_fn if filtered_traversal
@@ -565,6 +745,8 @@ class HNSWIndex:
                 d, i = fn(
                     jnp.asarray(qb), self._vectors, self._norms, self._bits,
                     self._graph, jnp.asarray(mb), self.entry, kk, ef,
+                    row_map=self._row_map if self.logical else None,
+                    metric=self.metric,
                 )
             pending.append((s, e, d, i))
         from ..ops.topk import merge_topk_host
@@ -583,8 +765,13 @@ class HNSWIndex:
     # ------------------------------------------------------------ storage
 
     def storage_bytes(self) -> Dict[str, int]:
+        npad_g, m0 = self._graph.shape
+        if self.logical:
+            # shared-table mode: only the graph and the row map are
+            # per-partition bytes (mirrors the reference's logical-partition
+            # storage accounting, role_partition_results.json "storage")
+            return {"vectors": 0, "index": int(npad_g * (m0 * 4 + 4))}
         npad, d = self._vectors.shape
-        m0 = self._graph.shape[1]
         w = self._bits.shape[1]
         return {
             "vectors": int(npad * d * self._vectors.dtype.itemsize),

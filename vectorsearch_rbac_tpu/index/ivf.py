@@ -46,6 +46,7 @@ class IVFIndex:
 
         self.query_batch = query_batch
         self.nprobe = nprobe
+        self.metric = arena.metric
 
         if arena.host_vectors is not None:
             host_vec = arena.host_vectors
@@ -166,7 +167,7 @@ class IVFIndex:
             d, i = ivf_search_fn(
                 jnp.asarray(qb), self._centroids, self._inv_vectors,
                 self._inv_norms, self._inv_bits, self._inv_rows,
-                jnp.asarray(mb), k, nprobe,
+                jnp.asarray(mb), k, nprobe, metric=self.metric,
             )
             pending.append((s, e, d, i))
         for s, e, d, i in pending:

@@ -220,20 +220,76 @@ class TPUCostParams:
         return t
 
 
+@dataclass
+class IVFCoverageParams:
+    """Coverage-based IVF probe-recall family (the fix the round-2 artifact
+    results/ivf_model_validation_1m.json names: the reference's piecewise
+    linear->sigmoid family, fitted to pgvector HNSW post-filtering
+    (helper.py:159-219), saturates at ef = k*topk/sel and cannot describe
+    IVF, whose recall tracks LIST COVERAGE of the user's admissible
+    neighbor mass — log-ish growth with diminishing returns, saturating
+    only at nprobe = nlist. The family that fits (reference anticipates
+    per-index refits, controller/dynamic_partition/get_parameter.py:135-185):
+
+        recall(nprobe)  = k * (1 - exp(-lam * nprobe^sigma))
+        time(nprobe, n) = log(n) * (a * nprobe * l_pad + b)
+
+    sigma < 1 captures neighbors concentrating in the nearest lists; k is
+    the in-list ceiling (spill + masking losses). On the round-2 1M sweep
+    this family reproduces 0.497/0.706 at nprobe 16/32 from endpoints
+    fitted at 8/64 (piecewise family error there: saturated at 1.0)."""
+
+    k: float = 1.0
+    lam: float = 0.08
+    sigma: float = 0.79
+    l_pad: float = 1024.0   # rows per probed list (ef = nprobe * l_pad)
+    a: float = 1.82e-7      # per-ef time slope   (log(n)*(a*ef+b))
+    b: float = 3.95e-6      # per-probe time intercept
+
+    def to_dict(self) -> Dict[str, float]:
+        return {f: getattr(self, f)
+                for f in ("k", "lam", "sigma", "l_pad", "a", "b")}
+
+    @classmethod
+    def from_dict(cls, d: Mapping[str, float]) -> "IVFCoverageParams":
+        return cls(**{f: d[f] for f in
+                      ("k", "lam", "sigma", "l_pad", "a", "b") if f in d})
+
+    def recall(self, nprobe: float, topk: int = 0, sel: float = 0.0,
+               n: float = 0.0) -> float:
+        if nprobe <= 0:
+            return 0.0
+        return self.k * (1.0 - math.exp(-self.lam * nprobe ** self.sigma))
+
+    def ef_for_recall(self, target: Optional[float], topk: int = 0,
+                      sel: float = 0.0, n: float = 0.0) -> float:
+        """Invert coverage -> nprobe (the 'ef' of the IVF planner)."""
+        r = 0.97 * self.k if target is None else min(target, 0.999 * self.k)
+        inner = max(1.0 - r / self.k, 1e-9)
+        return (-math.log(inner) / self.lam) ** (1.0 / self.sigma)
+
+    def partition_time(self, n_rows: float, nprobe: float) -> float:
+        if n_rows <= 1:
+            return 0.0
+        return math.log(max(n_rows, 2.0)) * (
+            self.a * nprobe * self.l_pad + self.b)
+
+
 def model_ef_for_recall(p, target: Optional[float], topk: int, sel: float,
                         n: float = 0.0) -> float:
-    """Family-dispatching ef inversion: works for both CostModelParams
-    (reference piecewise family) and TPUCostParams (engine-fitted family).
+    """Family-dispatching ef inversion: works for CostModelParams
+    (reference piecewise family), TPUCostParams (engine-fitted family), and
+    IVFCoverageParams (nprobe coverage family — its 'ef' is nprobe).
     The planner calls this so a fit-params run can swap families without
     touching optimizer code."""
-    if isinstance(p, TPUCostParams):
+    if isinstance(p, (TPUCostParams, IVFCoverageParams)):
         return p.ef_for_recall(target, topk, sel, n)
     return ef_for_recall(target, topk, sel, p, n)
 
 
 def model_partition_time(p, n_rows: float, ef: float) -> float:
     """Family-dispatching per-partition probe time."""
-    if isinstance(p, TPUCostParams):
+    if isinstance(p, (TPUCostParams, IVFCoverageParams)):
         return p.partition_time(n_rows, ef)
     if n_rows <= 1:
         return 0.0

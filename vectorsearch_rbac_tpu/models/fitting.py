@@ -215,6 +215,45 @@ def fit_tpu_cost(
                          join_time=join_time)
 
 
+def fit_ivf_coverage(
+    nprobes: Sequence[float],
+    recalls: Sequence[float],
+    l_pad: float = 1024.0,
+    a: float = 1.82e-7,
+    b: float = 3.95e-6,
+) -> "IVFCoverageParams":
+    """Fit the IVF coverage recall family (cost.IVFCoverageParams):
+    recall = k * (1 - exp(-lam * nprobe^sigma)). This is the per-index
+    refit the round-2 artifact (results/ivf_model_validation_1m.json)
+    calls for — the piecewise pgvector family saturates long before IVF
+    recall does. scipy curve_fit with a log-space grid fallback."""
+    from .cost import IVFCoverageParams
+
+    m = np.asarray(nprobes, dtype=np.float64)
+    r = np.asarray(recalls, dtype=np.float64)
+
+    def model(m_, k, lam, sigma):
+        return k * (1.0 - np.exp(-lam * np.power(np.maximum(m_, 1e-9), sigma)))
+
+    try:
+        from scipy.optimize import curve_fit
+
+        (k, lam, sigma), _ = curve_fit(
+            model, m, r, p0=[0.99, 0.1, 0.8],
+            bounds=([0.5, 1e-5, 0.05], [1.0, 10.0, 2.0]), maxfev=50000)
+    except Exception:
+        best = None
+        for k in (0.9, 0.95, 0.99, 1.0):
+            for lam in np.geomspace(1e-3, 2.0, 24):
+                for sigma in np.linspace(0.2, 1.5, 14):
+                    e = float(np.mean((model(m, k, lam, sigma) - r) ** 2))
+                    if best is None or e < best[0]:
+                        best = (e, k, lam, sigma)
+        _, k, lam, sigma = best
+    return IVFCoverageParams(k=float(k), lam=float(lam), sigma=float(sigma),
+                             l_pad=float(l_pad), a=float(a), b=float(b))
+
+
 def fit_join_time(
     n_partitions: Sequence[int],
     times: Sequence[float],

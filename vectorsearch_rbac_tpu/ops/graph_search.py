@@ -19,6 +19,15 @@ expansion history (both bounded, static shapes) instead of a per-node
 bitmap — revisits are rare and only cost duplicate work; final result
 duplicates are removed by requesting a small k margin and deduping on the
 host merge path.
+
+Logical (no-copy) mode: every search accepts an optional `row_map`
+((n_local,) int32 local node -> arena row). When given, vector / norm /
+role-bit lookups gather `vectors[row_map[node]]` from the SHARED arena
+instead of a per-partition copy — the TPU analog of the reference's
+pointer-HNSW over one shared vector table (reference
+logical_partition_benchmark/benchmark/src/shared_vector_table.h:18-90,
+pointer_hnsw_index.cpp:77 add_from_storage_ids). Graph arrays stay local;
+only they and the row map are per-partition storage.
 """
 
 from __future__ import annotations
@@ -43,26 +52,36 @@ def graph_beam_search(
     entry: int,              # entry node id
     k: int,
     ef: int,                 # beam width AND number of expansions
+    row_map: jax.Array = None,  # (n_local,) local -> arena row (no-copy mode)
+    metric: str = "l2",      # "l2" | "ip" | "cosine" (pgvector operator
+                             # family; cosine expects unit corpus rows and
+                             # normalizes queries here)
 ) -> Tuple[jax.Array, jax.Array]:
-    """Return (dists (Q, k) true squared L2 ascending, local ids (Q, k))."""
+    """Return (dists (Q, k) ascending in the metric's distance, local ids
+    (Q, k))."""
     q = queries.astype(jnp.float32)
+    if metric == "cosine":
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-30)
     nq, d = q.shape
     m0 = graph.shape[1]
     qn = jnp.sum(q * q, axis=1, keepdims=True)
     compute_dtype = vectors.dtype
     qc = q.astype(compute_dtype)
 
-    def dist_to(ids):  # ids (Q, C) -> scores (Q, C), ||x||^2 - 2 q.x
+    def _rows(ids):  # local node ids -> vector-table rows
         safe = jnp.maximum(ids, 0)
+        return safe if row_map is None else jnp.take(row_map, safe)
+
+    def dist_to(ids):  # ids (Q, C) -> metric scores (Q, C)
+        safe = _rows(ids)
         x = jnp.take(vectors, safe, axis=0)              # (Q, C, d)
         nrm = jnp.take(norms, safe, axis=0)              # (Q, C)
         dots = jnp.einsum("qd,qcd->qc", qc, x, preferred_element_type=jnp.float32)
-        s = nrm - 2.0 * dots
+        s = (nrm - 2.0 * dots) if metric == "l2" else -dots
         return jnp.where(ids >= 0, s, INF)
 
     def allowed(ids):
-        safe = jnp.maximum(ids, 0)
-        bits = jnp.take(role_bits, safe, axis=0)         # (Q, C, W)
+        bits = jnp.take(role_bits, _rows(ids), axis=0)   # (Q, C, W)
         ok = jnp.any(jnp.bitwise_and(query_masks[:, None, :], bits) != 0, axis=-1)
         return jnp.logical_and(ok, ids >= 0)
 
@@ -134,17 +153,23 @@ def graph_beam_search(
     _, _, _, res_ids, res_d, _ = state
 
     empty = jnp.isinf(res_d)
-    dists = jnp.where(empty, INF, jnp.maximum(res_d + qn, 0.0))
+    if metric == "l2":
+        fin = jnp.maximum(res_d + qn, 0.0)
+    elif metric == "cosine":
+        fin = jnp.clip(1.0 + res_d, 0.0, 2.0)
+    else:
+        fin = res_d
+    dists = jnp.where(empty, INF, fin)
     ids = jnp.where(empty, -1, res_ids)
     return dists, ids
 
 
-@functools.partial(jax.jit, static_argnames=("entry", "k", "ef"))
+@functools.partial(jax.jit, static_argnames=("entry", "k", "ef", "metric"))
 def graph_search_fn(queries, vectors, norms, role_bits, graph, query_masks,
-                    entry, k, ef):
+                    entry, k, ef, row_map=None, metric="l2"):
     return graph_beam_search(
         queries, vectors, norms, role_bits, graph, query_masks,
-        entry=entry, k=k, ef=ef,
+        entry=entry, k=k, ef=ef, row_map=row_map, metric=metric,
     )
 
 
@@ -158,6 +183,8 @@ def graph_beam_search_filtered(
     entry: int,
     k: int,
     ef: int,
+    row_map: jax.Array = None,  # (n_local,) local -> arena row (no-copy mode)
+    metric: str = "l2",
 ) -> Tuple[jax.Array, jax.Array]:
     """ACORN-style two-hop harvesting (reference acorn_benchmark /
     faiss::IndexACORNFlat semantics): navigation uses the full, unfiltered
@@ -173,23 +200,28 @@ def graph_beam_search_filtered(
     read most of the partition.
     """
     q = queries.astype(jnp.float32)
+    if metric == "cosine":
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-30)
     nq, d = q.shape
     m0 = graph.shape[1]
     qn = jnp.sum(q * q, axis=1, keepdims=True)
     compute_dtype = vectors.dtype
     qc = q.astype(compute_dtype)
 
-    def dist_to(ids):
+    def _rows(ids):
         safe = jnp.maximum(ids, 0)
+        return safe if row_map is None else jnp.take(row_map, safe)
+
+    def dist_to(ids):
+        safe = _rows(ids)
         x = jnp.take(vectors, safe, axis=0)
         nrm = jnp.take(norms, safe, axis=0)
         dots = jnp.einsum("qd,qcd->qc", qc, x, preferred_element_type=jnp.float32)
-        s = nrm - 2.0 * dots
+        s = (nrm - 2.0 * dots) if metric == "l2" else -dots
         return jnp.where(ids >= 0, s, INF)
 
     def allowed(ids):
-        safe = jnp.maximum(ids, 0)
-        bits = jnp.take(role_bits, safe, axis=0)
+        bits = jnp.take(role_bits, _rows(ids), axis=0)
         ok = jnp.any(jnp.bitwise_and(query_masks[:, None, :], bits) != 0, axis=-1)
         return jnp.logical_and(ok, ids >= 0)
 
@@ -271,17 +303,24 @@ def graph_beam_search_filtered(
     _, _, _, res_ids, res_d, _ = state
 
     empty = jnp.isinf(res_d)
-    dists = jnp.where(empty, INF, jnp.maximum(res_d + qn, 0.0))
+    if metric == "l2":
+        fin = jnp.maximum(res_d + qn, 0.0)
+    elif metric == "cosine":
+        fin = jnp.clip(1.0 + res_d, 0.0, 2.0)
+    else:
+        fin = res_d
+    dists = jnp.where(empty, INF, fin)
     ids = jnp.where(empty, -1, res_ids)
     return dists, ids
 
 
-@functools.partial(jax.jit, static_argnames=("entry", "k", "ef"))
+@functools.partial(jax.jit, static_argnames=("entry", "k", "ef", "metric"))
 def graph_search_filtered_fn(queries, vectors, norms, role_bits, graph,
-                             query_masks, entry, k, ef):
+                             query_masks, entry, k, ef, row_map=None,
+                             metric="l2"):
     return graph_beam_search_filtered(
         queries, vectors, norms, role_bits, graph, query_masks,
-        entry=entry, k=k, ef=ef,
+        entry=entry, k=k, ef=ef, row_map=row_map, metric=metric,
     )
 
 
@@ -298,6 +337,17 @@ def graph_beam_search_iterative(
     ef: int,                 # beam (priority queue) width
     max_steps: int,          # expansion budget
     harvest_2hop: bool = False,
+    row_map: jax.Array = None,  # (n_local,) local -> arena row (no-copy mode)
+    metric: str = "l2",
+    pids: jax.Array = None,  # (Q,) int32 — MULTI-GRAPH mode: `graph` is a
+                             # (P, n_class, M0) slab of many partitions'
+                             # graphs and `row_map` is (P, n_class); each
+                             # query q traverses graph[pids[q]]. This is
+                             # the slotted-dispatch analog of
+                             # tiled_bucket_topk for graph probes: a
+                             # hybrid-dynamic strategy's 100+ per-(comb,
+                             # partition) probe groups collapse into one
+                             # dispatch per (graph class, ef bucket).
 ) -> Tuple[jax.Array, jax.Array]:
     """Iterative-rescan filtered beam search — the batched analog of
     pgvector's `hnsw.iterative_scan` (reference pgvector/src/hnsw.c:90,
@@ -323,24 +373,41 @@ def graph_beam_search_iterative(
       partition medoid per comb — starting inside the admissible region).
     """
     q = queries.astype(jnp.float32)
+    if metric == "cosine":
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-30)
     nq, d = q.shape
-    npad = vectors.shape[0]
-    m0 = graph.shape[1]
+    multi = pids is not None
+    npad = graph.shape[1] if multi else graph.shape[0]
+    # npad is the LOCAL node count (vectors may be the shared arena in
+    # no-copy mode — the visited bitmap must stay graph-sized)
+    m0 = graph.shape[-1]
     qn = jnp.sum(q * q, axis=1, keepdims=True)
     compute_dtype = vectors.dtype
     qc = q.astype(compute_dtype)
     rows = jnp.arange(nq)
 
-    def dist_to(ids):
+    def _rows(ids):
         safe = jnp.maximum(ids, 0)
+        if row_map is None:
+            return safe
+        if multi:
+            return row_map[pids[:, None], safe]   # (Q, C) per-query graph
+        return jnp.take(row_map, safe)
+
+    def _neighbors(node):
+        safe = jnp.maximum(node, 0)
+        return graph[pids, safe] if multi else jnp.take(graph, safe, axis=0)
+
+    def dist_to(ids):
+        safe = _rows(ids)
         x = jnp.take(vectors, safe, axis=0)
         nrm = jnp.take(norms, safe, axis=0)
         dots = jnp.einsum("qd,qcd->qc", qc, x, preferred_element_type=jnp.float32)
-        return jnp.where(ids >= 0, nrm - 2.0 * dots, INF)
+        s = (nrm - 2.0 * dots) if metric == "l2" else -dots
+        return jnp.where(ids >= 0, s, INF)
 
     def allowed(ids):
-        safe = jnp.maximum(ids, 0)
-        bits = jnp.take(role_bits, safe, axis=0)
+        bits = jnp.take(role_bits, _rows(ids), axis=0)
         ok = jnp.any(jnp.bitwise_and(query_masks[:, None, :], bits) != 0, axis=-1)
         return jnp.logical_and(ok, ids >= 0)
 
@@ -387,7 +454,7 @@ def graph_beam_search_iterative(
         beam_d = beam_d.at[rows, sel].set(INF)
         beam_ids = beam_ids.at[rows, sel].set(-1)
 
-        nb = jnp.take(graph, jnp.maximum(node, 0), axis=0)       # (Q, M0)
+        nb = _neighbors(node)                                    # (Q, M0)
         nb = jnp.where((node >= 0)[:, None], nb, -1)
         seen = jnp.take_along_axis(visited, jnp.maximum(nb, 0), axis=1)
         nb = jnp.where(seen, -1, nb)
@@ -409,7 +476,10 @@ def graph_beam_search_iterative(
 
         # filtered result merge (optionally harvesting the 2-hop ring)
         if harvest_2hop:
-            nb2 = jnp.take(graph, jnp.maximum(nb, 0), axis=0)
+            if multi:
+                nb2 = graph[pids[:, None], jnp.maximum(nb, 0)]
+            else:
+                nb2 = jnp.take(graph, jnp.maximum(nb, 0), axis=0)
             nb2 = jnp.where((nb >= 0)[:, :, None], nb2, -1).reshape(nq, m0 * m0)
             # 2-hop candidates enter the RESULT list only and are NOT
             # marked visited (a harvested-then-displaced node must stay
@@ -451,18 +521,26 @@ def graph_beam_search_iterative(
     _, _, _, res_ids, res_d, _, _ = state
 
     empty = jnp.isinf(res_d)
-    dists = jnp.where(empty, INF, jnp.maximum(res_d + qn, 0.0))
+    if metric == "l2":
+        fin = jnp.maximum(res_d + qn, 0.0)
+    elif metric == "cosine":
+        fin = jnp.clip(1.0 + res_d, 0.0, 2.0)
+    else:
+        fin = res_d
+    dists = jnp.where(empty, INF, fin)
     ids = jnp.where(empty, -1, res_ids)
     return dists, ids
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "ef", "max_steps", "harvest_2hop")
+    jax.jit, static_argnames=("k", "ef", "max_steps", "harvest_2hop", "metric")
 )
 def graph_search_iterative_fn(queries, vectors, norms, role_bits, graph,
                               query_masks, entries, k, ef, max_steps,
-                              harvest_2hop=False):
+                              harvest_2hop=False, row_map=None, metric="l2",
+                              pids=None):
     return graph_beam_search_iterative(
         queries, vectors, norms, role_bits, graph, query_masks, entries,
         k=k, ef=ef, max_steps=max_steps, harvest_2hop=harvest_2hop,
+        row_map=row_map, metric=metric, pids=pids,
     )

@@ -35,9 +35,13 @@ def probed_topk(
     k: int,
     mode: str = "exact",
     recall_target: float = 0.95,
+    metric: str = "l2",      # "l2" | "ip" | "cosine" (see ops/scan.py)
 ) -> Tuple[jax.Array, jax.Array]:
-    """Return (dists (Q, k) true squared-L2 ascending, arena row ids)."""
+    """Return (dists (Q, k) ascending in the metric's distance, arena row
+    ids)."""
     q = queries.astype(jnp.float32)
+    if metric == "cosine":
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-30)
     qn = jnp.sum(q * q, axis=1, keepdims=True)
     nprobe = probe_ids.shape[1]
     compute_dtype = inv_vectors.dtype
@@ -50,7 +54,7 @@ def probed_topk(
         bb = jnp.take(inv_bits, lists_j, axis=0)      # (Q, L, W)
         rid = jnp.take(inv_rows, lists_j, axis=0)     # (Q, L)
         dots = jnp.einsum("qd,qld->ql", qc, xb, preferred_element_type=jnp.float32)
-        scores = nb - 2.0 * dots
+        scores = (nb - 2.0 * dots) if metric == "l2" else -dots
         allowed = jnp.any(jnp.bitwise_and(query_masks[:, None, :], bb) != 0, axis=-1)
         scores = jnp.where(allowed, scores, INF)
         # per-probe reduction only; one deferred merge outside the scan
@@ -77,19 +81,29 @@ def probed_topk(
     vals = -neg_top
     idx = jnp.take_along_axis(cand_ids, pos, axis=1)
     empty = jnp.isinf(vals)
-    dists = jnp.where(empty, INF, jnp.maximum(vals + qn, 0.0))
+    if metric == "l2":
+        dists = jnp.maximum(vals + qn, 0.0)
+    elif metric == "cosine":
+        dists = jnp.clip(1.0 + vals, 0.0, 2.0)
+    else:
+        dists = vals
+    dists = jnp.where(empty, INF, dists)
     idx = jnp.where(empty, -1, idx)
     return dists, idx
 
 
-@functools.partial(jax.jit, static_argnames=("k", "nprobe"))
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "metric"))
 def ivf_search_fn(
     queries, centroids, inv_vectors, inv_norms, inv_bits, inv_rows,
-    query_masks, k, nprobe,
+    query_masks, k, nprobe, metric="l2",
 ):
     """Full IVF search: centroid routing (MXU matmul + top-nprobe) then the
-    probed-list scan."""
+    probed-list scan. Routing always uses L2-to-centroid (for cosine the
+    rows and queries are unit vectors, so this is angular routing; for ip
+    it is a navigable proxy, like IVF on max-inner-product generally)."""
     q = queries.astype(jnp.float32)
+    if metric == "cosine":
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-30)
     qn = jnp.sum(q * q, axis=1, keepdims=True)
     cn = jnp.sum(centroids * centroids, axis=1)
     cd = qn + cn[None, :] - 2.0 * jnp.dot(
@@ -98,5 +112,5 @@ def ivf_search_fn(
     _, probe_ids = jax.lax.top_k(-cd, nprobe)
     return probed_topk(
         queries, probe_ids.astype(jnp.int32), inv_vectors, inv_norms,
-        inv_bits, inv_rows, query_masks, k,
+        inv_bits, inv_rows, query_masks, k, metric=metric,
     )

@@ -37,7 +37,7 @@ MASKED_I32 = 0x7F000000  # > any packed score (|score| << 7 < 2^30)
 EMPTY_I32 = 0x7E000000
 
 
-def _make_kernel(chunk: int, group: int):
+def _make_kernel(chunk: int, group: int, metric: str = "l2"):
     def _kernel(q_ref, x_ref, n_ref, r_ref, m_ref, out_ref):
         # q: (TQ, d) int8; x: (B, d) int8; n: (1, B) int32;
         # r: (B, R) int8 role one-hot; m: (TQ, R) int8 user one-hot;
@@ -55,13 +55,18 @@ def _make_kernel(chunk: int, group: int):
             row0 = pl.multiple_of(c * chunk, LANES)
             x = x_ref[pl.ds(row0, chunk), :]
             r = r_ref[pl.ds(row0, chunk), :]
-            # distance partial: ||x||^2 - 2 q.x, all int32 (exact)
+            # score partial, all int32 (exact): l2 = ||x||^2 - 2 q.x;
+            # ip/cosine = -q.x (quantize_corpus's span clamp bounds both
+            # under the << 7 pack: 3*d_pad*qclip^2 < 2^23)
             dots = jax.lax.dot_general(
                 x, q,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )                                     # (chunk, TQ)
-            score = n_ref[0, pl.ds(row0, chunk)][:, None] - 2 * dots
+            if metric == "l2":
+                score = n_ref[0, pl.ds(row0, chunk)][:, None] - 2 * dots
+            else:
+                score = -dots
             # fused RBAC check on the MXU: shared-role count
             admit = jax.lax.dot_general(
                 r, m,
@@ -87,7 +92,7 @@ def _make_kernel(chunk: int, group: int):
 
 @functools.partial(
     jax.jit, static_argnames=("k", "q_tile", "block_rows", "group",
-                              "merge", "interpret")
+                              "merge", "interpret", "metric")
 )
 def int8_masked_topk(
     queries_q: jax.Array,    # (Q, d_pad) int8 quantized queries
@@ -107,9 +112,14 @@ def int8_masked_topk(
                              # 2x over-fetch + exact resort) wins at 10M-
                              # scale counts; "auto" picks by n_groups
     interpret: bool = False,
+    metric: str = "l2",      # "l2" | "ip" (cosine = ip on unit vectors;
+                             # fold the +1 into query_bias)
+    query_bias: jax.Array = None,  # (Q,) float32 additive distance
+                                   # correction (ip: -q.center to undo the
+                                   # corpus centering; cosine: 1 - q.center)
 ) -> Tuple[jax.Array, jax.Array]:
-    """Return (dists (Q, k) float32 true squared-L2 ascending, idx (Q, k)
-    int32 arena rows; -1 / +inf on empty slots)."""
+    """Return (dists (Q, k) float32 ascending in the metric's distance,
+    idx (Q, k) int32 arena rows; -1 / +inf on empty slots)."""
     nq, d = queries_q.shape
     q_tile = min(q_tile, nq)
     npad = vectors_q.shape[0]
@@ -123,7 +133,7 @@ def int8_masked_topk(
     r_pad = roles8.shape[1]
 
     packed = pl.pallas_call(
-        _make_kernel(chunk, group),
+        _make_kernel(chunk, group, metric),
         grid=grid,
         in_specs=[
             pl.BlockSpec((q_tile, d), lambda i, j: (i, 0),
@@ -148,10 +158,37 @@ def int8_masked_topk(
     if merge == "none":
         # raw (n_groups, Q) packed minima — for stage profiling only
         return packed, packed
+    return _merge_group_minima(packed, query_norms, inv_scale_sq, k,
+                               group, merge, metric, query_bias)
+
+
+def _merge_group_minima(packed, query_norms, inv_scale_sq, k, group, merge,
+                        metric, query_bias):
+    """Shared epilogue: (n_groups, Q) packed (score << 7 | lane) minima ->
+    (dists (Q, k), idx (Q, k))."""
+    n_groups = packed.shape[0]
     mins = jnp.transpose(packed, (1, 0))                 # (Q, n_groups)
     if merge == "auto":
         merge = "approx" if n_groups > 32768 else "exact"
-    if merge == "approx" and n_groups >= 4 * k:
+    if merge == "cascade" and n_groups >= 2048:
+        # two-stage exact-ish selection: per-128-subgroup top-t, then exact
+        # top-k over the 64*t survivors. Misses a true top-k entry only if
+        # > t of them land in one 128-wide subgroup (multinomial tail
+        # ~1e-13 at k=100, t=24) — measured ~4x cheaper than one big
+        # lax.top_k at 1M-scale group counts while exact merge dominated
+        # the device profile (PERF.md round-3).
+        t = min(24, max(k // 4 + 4, 8))
+        qn_, ng = mins.shape
+        sub = 128
+        m3 = mins.reshape(qn_, ng // sub, sub)
+        negs, poss = jax.lax.top_k(-m3, t)               # (Q, ng/sub, t)
+        base = (jnp.arange(ng // sub, dtype=jnp.int32) * sub)[None, :, None]
+        cand_pos = (poss + base).reshape(qn_, -1)
+        cand_val = (-negs).reshape(qn_, -1)
+        neg_top, sel = jax.lax.top_k(-cand_val, k)
+        vals = -neg_top
+        pos = jnp.take_along_axis(cand_pos, sel, axis=1)
+    elif merge == "approx" and n_groups >= 4 * k:
         # PartialReduce-backed approximate selection with 2x OVER-FETCH:
         # approx_min_k at exactly k caps set recall near its recall_target
         # (measured 0.938 at the 0.95 target); requesting 2k candidates
@@ -175,10 +212,133 @@ def int8_masked_topk(
     score = jax.lax.shift_right_arithmetic(vals, 7)      # int32 scaled score
 
     empty = vals >= EMPTY_I32
-    dists = (score + query_norms[:, None]).astype(jnp.float32) * inv_scale_sq
-    dists = jnp.where(empty, jnp.inf, jnp.maximum(dists, 0.0))
+    if metric == "l2":
+        dists = (score + query_norms[:, None]).astype(jnp.float32) * inv_scale_sq
+        dists = jnp.maximum(dists, 0.0)
+    else:
+        dists = score.astype(jnp.float32) * inv_scale_sq
+    if query_bias is not None:
+        dists = dists + query_bias[:, None]
+    dists = jnp.where(empty, jnp.inf, dists)
     idx = jnp.where(empty, -1, idx)
     return dists, idx
+
+
+def _make_wide_kernel(group: int, nk: int, metric: str):
+    """d-split variant: the reduction dimension joins the grid and partial
+    dots accumulate in a VMEM scratch, so wide corpora (768-d cohere
+    shapes) keep FULL row/query tiles instead of shrinking them ~8x to fit
+    (block_rows, d) in VMEM (the round-2 1.3k-QPS limiter, PERF.md
+    768-d section). The packed group-min epilogue runs once, on the last
+    d-chunk."""
+
+    def _kernel(q_ref, x_ref, n_ref, r_ref, m_ref, out_ref, acc_ref):
+        kd = pl.program_id(2)
+        dots = jax.lax.dot_general(
+            x_ref[:], q_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )                                           # (B, TQ)
+
+        @pl.when(kd == 0)
+        def _init():
+            acc_ref[:] = dots
+
+        @pl.when(kd != 0)
+        def _accum():
+            acc_ref[:] = acc_ref[:] + dots
+
+        @pl.when(kd == nk - 1)
+        def _epilogue():
+            b, tq = acc_ref.shape
+            if metric == "l2":
+                score = n_ref[0, :][:, None] - 2 * acc_ref[:]
+            else:
+                score = -acc_ref[:]
+            admit = jax.lax.dot_general(
+                r_ref[:], m_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            g = b // group
+            lane = jax.lax.broadcasted_iota(jnp.int32, (g, group, tq), 1)
+            packed = jnp.where(
+                admit.reshape(g, group, tq) > 0,
+                jax.lax.shift_left(score.reshape(g, group, tq), 7) | lane,
+                jnp.full((g, group, tq), MASKED_I32, jnp.int32),
+            )
+            out_ref[:] = jnp.min(packed, axis=1)
+
+    return _kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "q_tile", "block_rows", "group",
+                              "d_chunk", "merge", "interpret", "metric")
+)
+def int8_masked_topk_wide(
+    queries_q: jax.Array,    # (Q, d_pad) int8
+    query_norms: jax.Array,  # (Q,) int32
+    vectors_q: jax.Array,    # (Npad, d_pad) int8
+    norms_q: jax.Array,      # (Npad,) int32
+    roles8: jax.Array,       # (Npad, R_pad) int8
+    masks8: jax.Array,       # (Q, R_pad) int8
+    inv_scale_sq: jax.Array,
+    k: int,
+    q_tile: int = 512,
+    block_rows: int = 1024,
+    group: int = 128,
+    d_chunk: int = 256,
+    merge: str = "auto",
+    interpret: bool = False,
+    metric: str = "l2",
+    query_bias: jax.Array = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Wide-d form of int8_masked_topk (same contract): the d dimension is
+    a third grid axis with VMEM-scratch accumulation, so 768-d runs at full
+    block_rows/q_tile. VMEM at the defaults: acc (1024, 512) i32 = 2 MB +
+    x (1024, 256) + q (512, 256) + roles/masks ~ 2.6 MB total."""
+    nq, d_pad = queries_q.shape
+    q_tile = min(q_tile, nq)
+    npad = vectors_q.shape[0]
+    assert nq % q_tile == 0 and npad % block_rows == 0
+    assert group in (8, 16, 32, 64, 128)
+    d_chunk = min(d_chunk, d_pad)
+    while d_pad % d_chunk:      # d_pad is a 128-multiple; fall to one that
+        d_chunk //= 2           # divides (384 -> 128, etc.)
+    assert d_chunk >= 128 or d_chunk == d_pad, (d_pad, d_chunk)
+    nk = d_pad // d_chunk
+    n_groups = npad // group
+    r_pad = roles8.shape[1]
+    grid = (nq // q_tile, npad // block_rows, nk)
+    norms2d = norms_q.reshape(1, npad)
+
+    packed = pl.pallas_call(
+        _make_wide_kernel(group, nk, metric),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((q_tile, d_chunk), lambda i, j, kd: (i, kd),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, d_chunk), lambda i, j, kd: (j, kd),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_rows), lambda i, j, kd: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, r_pad), lambda i, j, kd: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_tile, r_pad), lambda i, j, kd: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_rows // group, q_tile), lambda i, j, kd: (j, i),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_groups, nq), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((block_rows, q_tile), jnp.int32)],
+        interpret=interpret,
+    )(queries_q, vectors_q, norms2d, roles8, masks8)
+
+    return _merge_group_minima(packed, query_norms, inv_scale_sq, k,
+                               group, merge, metric, query_bias)
 
 
 @functools.partial(jax.jit, static_argnames=("r_pad",))
@@ -204,31 +364,60 @@ def _hi_pack_geometry(k: int, id_bits: int) -> Tuple[int, int, int]:
     return hi_bits, per, -(-k // per)
 
 
-@functools.partial(jax.jit, static_argnames=("id_bits", "dist16"))
+@functools.partial(jax.jit, static_argnames=("id_bits", "dist16", "dist"))
 def pack_results_device(dists: jax.Array, idx: jax.Array,
-                        id_bits: int = 24, dist16: bool = True) -> jax.Array:
-    """(Q, k) f32 dists + (Q, k) i32 ids -> (Q, 2k + ceil(k/per)) uint16.
+                        id_bits: int = 24, dist16: bool = True,
+                        dist: str = None) -> jax.Array:
+    """(Q, k) f32 dists + (Q, k) i32 ids -> a uint16 wire row per query.
 
-    The wire format for the ~45 MB/s tunnel (the difference between a
-    fetch-bound and a compute-bound serving pass): bf16 distance (reporting
-    precision — f16 would overflow on SIFT squared-L2 magnitudes; result
-    ORDER is exact, set membership unaffected), id low half as uint16, and
-    the ids' high bits nibble-packed `per = 16 // (id_bits-16)` to a uint16
-    (id_bits = ceil(log2(n_rows)); 4.5 B/result at 1M rows vs 8 B naive).
-    Empty slots travel as dist=+inf, id=0 — the HOST side restores -1 (an
-    id sentinel would collide with a valid row at exact powers of two).
+    The wire format for the ~45-75 MB/s tunnel (the difference between a
+    fetch-bound and a compute-bound serving pass). Ids travel as a uint16
+    low half plus the high bits nibble-packed `per = 16 // (id_bits-16)`
+    to a uint16 (id_bits = ceil(log2(n_rows))). Distances by `dist` mode:
 
-    dist16=False sends full f32 distances as two uint16 halves — for the
-    partitioned engines, whose small per-dispatch fetches are round-trip-
-    floor (not bandwidth) bound and whose cross-partition merges must not
-    let bf16 rounding ties reorder results."""
+    - "f32": two uint16 halves — partitioned engines, whose cross-
+      partition merges must not let rounding ties reorder results;
+    - "bf16": reporting precision ~0.4% relative (f16 would overflow on
+      SIFT squared-L2 magnitudes); 4.5 B/result at 1M rows;
+    - "u8": per-query AFFINE code over the top-k's own [min, max] span
+      (f32 min/range header + one byte per result) — 3.6 B/result; the
+      absolute error (range/254) is usually FINER than bf16 inside a tight
+      top-k band. Measured on-chip: the u8 wire moved the 16k-query pass
+      from 40k to 71k QPS (scripts/r3_perf_lab.py round-3).
+
+    Empty slots travel as dist=+inf (code 255 in u8), id=0 — the HOST side
+    restores -1 (an id sentinel would collide with a valid row at exact
+    powers of two). `dist16` is the legacy bool form (True=bf16, False=f32)
+    kept for callers that don't pass `dist`."""
     q, k = idx.shape
+    if dist is None:
+        dist = "bf16" if dist16 else "f32"
     hi_bits, per, n_hi = _hi_pack_geometry(k, id_bits)
     empty = ~jnp.isfinite(dists)
     idc = jnp.where(empty, 0, idx)
-    if dist16:
+    if dist == "bf16":
         d16 = jax.lax.bitcast_convert_type(
             dists.astype(jnp.bfloat16), jnp.uint16)
+    elif dist == "u8":
+        assert k % 2 == 0, "u8 wire needs even k"
+        dmin = jnp.min(jnp.where(empty, jnp.inf, dists), axis=1)
+        dmax = jnp.max(jnp.where(empty, -jnp.inf, dists), axis=1)
+        dmin = jnp.where(jnp.isfinite(dmin), dmin, 0.0)
+        rng = jnp.maximum(jnp.where(jnp.isfinite(dmax), dmax, 0.0) - dmin,
+                          1e-9)
+        du = jnp.clip(jnp.round(
+            (dists - dmin[:, None]) / rng[:, None] * 254.0), 0, 254
+        ).astype(jnp.uint16)
+        du = jnp.where(empty, jnp.uint16(255), du)
+        du2 = du.reshape(q, k // 2, 2)
+        sh2 = (jnp.arange(2, dtype=jnp.uint16) * 8)[None, None, :]
+        packed_d = jax.lax.reduce(du2 << sh2, jnp.uint16(0),
+                                  jax.lax.bitwise_or, (2,))
+        hdr = jax.lax.bitcast_convert_type(
+            jnp.stack([dmin, rng], axis=1), jnp.uint32)    # (Q, 2)
+        d16 = jnp.concatenate(
+            [(hdr & 0xFFFF).astype(jnp.uint16),
+             (hdr >> 16).astype(jnp.uint16), packed_d], axis=1)
     else:
         d32 = jax.lax.bitcast_convert_type(dists, jnp.uint32)
         d16 = jnp.concatenate(
@@ -249,19 +438,35 @@ def pack_results_device(dists: jax.Array, idx: jax.Array,
     return jnp.concatenate([d16, lo, packed_hi], axis=1)
 
 
-def unpack_results_host(arr, k: int, id_bits: int = 24, dist16: bool = True):
+def unpack_results_host(arr, k: int, id_bits: int = 24, dist16: bool = True,
+                        dist: str = None):
     """Inverse of pack_results_device on the host (numpy)."""
     import numpy as np
 
+    if dist is None:
+        dist = "bf16" if dist16 else "f32"
     hi_bits, per, n_hi = _hi_pack_geometry(k, id_bits)
     a = np.asarray(arr)
-    if dist16:
+    if dist == "bf16":
         # bf16 -> f32: the bf16 bit pattern is the high half of the f32 one
         d = (a[:, :k].astype(np.uint32) << 16).view(np.float32)
+        empty = ~np.isfinite(d)
         off = k
+    elif dist == "u8":
+        hdr = (a[:, :2].astype(np.uint32)
+               | (a[:, 2:4].astype(np.uint32) << 16)).view(np.float32)
+        dmin, rng = hdr[:, 0], hdr[:, 1]
+        pd = a[:, 4:4 + k // 2]
+        du = np.empty((a.shape[0], k), np.uint16)
+        du[:, 0::2] = pd & 0xFF
+        du[:, 1::2] = pd >> 8
+        d = dmin[:, None] + du.astype(np.float32) / 254.0 * rng[:, None]
+        empty = du == 255
+        off = 4 + k // 2
     else:
         d = (a[:, :k].astype(np.uint32)
              | (a[:, k:2 * k].astype(np.uint32) << 16)).view(np.float32)
+        empty = ~np.isfinite(d)
         off = 2 * k
     idx = a[:, off:off + k].astype(np.int32)
     if hi_bits:
@@ -270,23 +475,31 @@ def unpack_results_host(arr, k: int, id_bits: int = 24, dist16: bool = True):
         shifts = np.tile(np.arange(per, dtype=np.uint16) * hi_bits,
                          n_hi)[:k][None, :]
         idx |= ((reps >> shifts) & ((1 << hi_bits) - 1)).astype(np.int32) << 16
-    empty = ~np.isfinite(d)
     return np.where(empty, np.inf, d), np.where(empty, -1, idx)
 
 
 def int8_masked_topk_reference(
     queries_q, query_norms, vectors_q, norms_q, roles8, masks8,
-    inv_scale_sq, k,
+    inv_scale_sq, k, metric="l2", query_bias=None,
 ):
     """Pure-jnp semantic twin of the kernel (oracle for tests)."""
     dots = jnp.dot(queries_q.astype(jnp.int32), vectors_q.astype(jnp.int32).T)
-    score = norms_q[None, :].astype(jnp.int32) - 2 * dots
+    if metric == "l2":
+        score = norms_q[None, :].astype(jnp.int32) - 2 * dots
+    else:
+        score = -dots
     admit = jnp.dot(masks8.astype(jnp.int32), roles8.astype(jnp.int32).T)
     big = jnp.int32(2**30)
     score = jnp.where(admit > 0, score, big)
     neg_top, idx = jax.lax.top_k(-score, k)
     vals = -neg_top
     empty = vals >= big
-    dists = (vals + query_norms[:, None]).astype(jnp.float32) * inv_scale_sq
-    dists = jnp.where(empty, jnp.inf, jnp.maximum(dists, 0.0))
+    if metric == "l2":
+        dists = (vals + query_norms[:, None]).astype(jnp.float32) * inv_scale_sq
+        dists = jnp.maximum(dists, 0.0)
+    else:
+        dists = vals.astype(jnp.float32) * inv_scale_sq
+    if query_bias is not None:
+        dists = dists + query_bias[:, None]
+    dists = jnp.where(empty, jnp.inf, dists)
     return dists, jnp.where(empty, -1, idx.astype(jnp.int32))

@@ -44,12 +44,19 @@ def masked_scan_topk(
     block_rows: int = 16384,
     mode: str = "exact",
     recall_target: float = 0.99,
+    metric: str = "l2",     # "l2" | "ip" | "cosine" — the pgvector operator
+                            # family (<-> / <#> / <=>, reference pgvector/
+                            # src/vector.c). "cosine" expects UNIT corpus
+                            # rows (core.build_device_arena normalizes at
+                            # ingest) and normalizes queries here.
 ) -> Tuple[jax.Array, jax.Array]:
-    """Return (dists (Q, k) true squared-L2 ascending, idx (Q, k) int32).
-
-    Slots with no admissible vector get dist=+inf and idx=-1.
-    """
+    """Return (dists (Q, k) ascending in the metric's distance — squared L2,
+    negative inner product (pgvector <#>), or cosine distance 1-cos — and
+    idx (Q, k) int32). Slots with no admissible vector get dist=+inf and
+    idx=-1."""
     q = queries.astype(jnp.float32)
+    if metric == "cosine":
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-30)
     npad, d = vectors.shape
     assert npad % block_rows == 0, (npad, block_rows)
     nb = npad // block_rows
@@ -70,14 +77,15 @@ def masked_scan_topk(
 
     def body(_, xs):
         xb, nb_, bb, off = xs
-        # scores: ||x||^2 - 2 q.x  (monotone in true L2 per query)
+        # scores monotone in the metric's distance per query:
+        # l2: ||x||^2 - 2 q.x ; ip/cosine: -q.x
         dots = jax.lax.dot_general(
             qc, xb,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=precision,
         )
-        scores = nb_[None, :] - 2.0 * dots
+        scores = (nb_[None, :] - 2.0 * dots) if metric == "l2" else -dots
         # fused RBAC check: any shared role bit between user mask and row bits
         hit = jnp.bitwise_and(query_masks[:, None, :], bb[None, :, :])
         allowed = jnp.any(hit != 0, axis=-1)
@@ -106,20 +114,28 @@ def masked_scan_topk(
     idx = jnp.take_along_axis(cand_idx, pos, axis=1)
 
     empty = jnp.isinf(vals)
-    dists = jnp.where(empty, INF, jnp.maximum(vals + qn, 0.0))
+    if metric == "l2":
+        dists = jnp.maximum(vals + qn, 0.0)
+    elif metric == "cosine":
+        dists = jnp.clip(1.0 + vals, 0.0, 2.0)
+    else:
+        dists = vals
+    dists = jnp.where(empty, INF, dists)
     idx = jnp.where(empty, -1, idx)
     return dists, idx
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "block_rows", "mode", "recall_target")
+    jax.jit,
+    static_argnames=("k", "block_rows", "mode", "recall_target", "metric"),
 )
 def scan_topk_fn(queries, vectors, norms, role_bits, query_masks, k, block_rows,
-                 mode, recall_target=0.95):
+                 mode, recall_target=0.95, metric="l2"):
     """Jitted entry for masked_scan_topk (static k / block size / mode)."""
     return masked_scan_topk(
         queries, vectors, norms, role_bits, query_masks,
         k=k, block_rows=block_rows, mode=mode, recall_target=recall_target,
+        metric=metric,
     )
 
 
@@ -133,11 +149,15 @@ def masked_scan_topk_aug(
     block_rows: int = 65536,
     mode: str = "approx",
     recall_target: float = 0.95,
+    metric: str = "l2",     # see masked_scan_topk; ip/cosine zero the norm
+                            # columns of the augmented query instead
 ) -> Tuple[jax.Array, jax.Array]:
     """Augmented-layout scan: the squared-norm term rides inside the matmul
     (see core.augment_with_norms), removing a full (Q, N) elementwise pass.
     Semantics identical to masked_scan_topk."""
     q = queries.astype(jnp.float32)
+    if metric == "cosine":
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-30)
     nq = q.shape[0]
     npad, d_aug = vectors_aug.shape
     assert npad % block_rows == 0, (npad, block_rows)
@@ -145,9 +165,11 @@ def masked_scan_topk_aug(
     qn = jnp.sum(q * q, axis=1, keepdims=True)
 
     compute_dtype = vectors_aug.dtype
-    ones = jnp.ones((nq, 1), jnp.float32)
+    w_norm = 1.0 if metric == "l2" else 0.0   # drop the ||x||^2 term for ip
+    w_q = -2.0 if metric == "l2" else -1.0    # scores = -q.x for ip/cosine
+    ones = jnp.full((nq, 1), w_norm, jnp.float32)
     zeros = jnp.zeros((nq, d_aug - d - 2), jnp.float32)
-    q_aug = jnp.concatenate([-2.0 * q, ones, ones, zeros], axis=1).astype(compute_dtype)
+    q_aug = jnp.concatenate([w_q * q, ones, ones, zeros], axis=1).astype(compute_dtype)
 
     # with few blocks the final exact merge can't recover per-block losses;
     # raise the per-block target so end recall stays comparable
@@ -183,17 +205,25 @@ def masked_scan_topk_aug(
     idx = jnp.take_along_axis(cand_idx, pos, axis=1)
 
     empty = jnp.isinf(vals)
-    dists = jnp.where(empty, INF, jnp.maximum(vals + qn, 0.0))
+    if metric == "l2":
+        dists = jnp.maximum(vals + qn, 0.0)
+    elif metric == "cosine":
+        dists = jnp.clip(1.0 + vals, 0.0, 2.0)
+    else:
+        dists = vals
+    dists = jnp.where(empty, INF, dists)
     idx = jnp.where(empty, -1, idx)
     return dists, idx
 
 
 @functools.partial(
-    jax.jit, static_argnames=("d", "k", "block_rows", "mode", "recall_target")
+    jax.jit,
+    static_argnames=("d", "k", "block_rows", "mode", "recall_target", "metric"),
 )
 def scan_topk_aug_fn(queries, vectors_aug, role_bits, query_masks, d, k,
-                     block_rows, mode, recall_target=0.95):
+                     block_rows, mode, recall_target=0.95, metric="l2"):
     return masked_scan_topk_aug(
         queries, vectors_aug, role_bits, query_masks, d=d, k=k,
         block_rows=block_rows, mode=mode, recall_target=recall_target,
+        metric=metric,
     )

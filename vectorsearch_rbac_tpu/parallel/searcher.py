@@ -55,19 +55,39 @@ class ShardedGlobalSearcher:
         # pad so every shard holds a whole number of blocks
         unit = block_rows * self.n_shards
         npad = ((n + unit - 1) // unit) * unit
-        vecs = np.zeros((npad, d), dtype=np.float32)
-        vecs[:n] = corpus.vectors
-        norms = np.zeros(npad, dtype=np.float32)
-        norms[:n] = np.einsum("nd,nd->n", corpus.vectors, corpus.vectors)
         bits = np.zeros((npad, world.words), dtype=np.uint32)
         bits[:n] = corpus.vector_role_bits(world)
 
-        self._vectors, self._norms, self._bits = shard_arena_arrays(
-            self.mesh, vecs.astype(jnp.dtype(dtype)), norms, bits
-        )
+        self.quantized = dtype == "int8"
+        if self.quantized:
+            # the FLAGSHIP path, sharded: the same int8 fused Pallas kernel
+            # the single-chip bench measures, rows split over chips
+            from ..core import (
+                ArenaQuant, bits_to_onehot8, quantize_corpus,
+            )
+            from .sharded import shard_quant_arrays
+
+            xq, nq_, scale, center, lossless, qclip = quantize_corpus(
+                corpus.vectors, npad)
+            r_pad = ((world.num_roles + 127) // 128) * 128
+            roles8 = bits_to_onehot8(bits, world.num_roles, r_pad)
+            vq, nqd, r8 = shard_quant_arrays(self.mesh, xq, nq_, roles8)
+            self._quant = ArenaQuant(
+                vectors_q=vq, norms_q=nqd, roles8=r8, scale=scale,
+                center=center, lossless=lossless, qclip=qclip)
+            self.num_roles = world.num_roles
+        else:
+            vecs = np.zeros((npad, d), dtype=np.float32)
+            vecs[:n] = corpus.vectors
+            norms = np.zeros(npad, dtype=np.float32)
+            norms[:n] = np.einsum("nd,nd->n", corpus.vectors, corpus.vectors)
+            self._vectors, self._norms, self._bits = shard_arena_arrays(
+                self.mesh, vecs.astype(jnp.dtype(dtype)), norms, bits
+            )
         self.n = n
-        logger.info("sharded arena: %d rows over %d shards x %d replicas",
-                    npad, self.n_shards, self.n_repl)
+        self.npad = npad
+        logger.info("sharded arena: %d rows over %d shards x %d replicas (%s)",
+                    npad, self.n_shards, self.n_repl, dtype)
 
     def search_batch(
         self, queries: np.ndarray, user_ids: np.ndarray,
@@ -81,6 +101,31 @@ class ShardedGlobalSearcher:
         user_ids = np.asarray(user_ids)
         masks = query_masks_for(user_masks, user_ids)
         nq = q.shape[0]
+        if self.quantized:
+            import jax
+
+            from .sharded import sharded_int8_topk
+
+            quant = self._quant
+            # pad so each replica's slice divides the kernel q_tile
+            q_tile = min(256, 1 << (max(nq // self.n_repl, 1) - 1).bit_length())
+            unit = self.n_repl * q_tile
+            pad = (-nq) % unit
+            if pad:
+                q = np.concatenate([q, np.zeros((pad, q.shape[1]), np.float32)])
+                masks = np.concatenate(
+                    [masks, np.zeros((pad, masks.shape[1]), np.uint32)])
+            q8, qn = quant.quantize_queries(q)
+            m8 = quant.quantize_masks(masks, self.num_roles)
+            interp = jax.default_backend() == "cpu"
+            d, i = sharded_int8_topk(
+                self.mesh, jnp.asarray(q8), jnp.asarray(qn),
+                quant.vectors_q, quant.norms_q, quant.roles8,
+                jnp.asarray(m8), jnp.float32(1.0 / quant.scale**2), k,
+                q_tile=q_tile, block_rows=min(self.block_rows, 4096),
+                group=self._int8_group(), interpret=interp,
+            )
+            return np.asarray(d)[:nq], np.asarray(i)[:nq].astype(np.int64)
         # pad query count to a replica multiple
         pad = (-nq) % self.n_repl
         if pad:
@@ -92,12 +137,25 @@ class ShardedGlobalSearcher:
         )
         return np.asarray(d)[:nq], np.asarray(i)[:nq].astype(np.int64)
 
+    def _int8_group(self) -> int:
+        """Per-shard group-min width: keep >= 8192 group minima per chip
+        (same collision-floor policy as Int8FlatIndex)."""
+        local = self.npad // self.n_shards
+        fit = local // 8192
+        if fit >= 8:
+            return min(128, 1 << (fit.bit_length() - 1))
+        return 8
+
     def storage_report(self):
-        d = self._vectors.shape[1]
-        npad = self._vectors.shape[0]
         mb = 1024 * 1024
-        total = npad * (d * self._vectors.dtype.itemsize + 4
-                        + 4 * self._bits.shape[1])
+        if self.quantized:
+            q = self._quant
+            total = self.npad * (q.vectors_q.shape[1] + 4
+                                 + q.roles8.shape[1])
+        else:
+            d = self._vectors.shape[1]
+            total = self.npad * (d * self._vectors.dtype.itemsize + 4
+                                 + 4 * self._bits.shape[1])
         return {
             "total_mb": total / mb,
             "per_shard_mb": total / mb / self.n_shards,

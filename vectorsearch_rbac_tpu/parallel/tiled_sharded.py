@@ -21,7 +21,6 @@ the reference's partition duplication under the AnonySys storage budget.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -152,6 +151,7 @@ class ShardedTiledSearcher:
         self._rowC = jax.device_put(rowC, spec3)
         self.chunks_max = max(n_chunks.values(), default=1)
         self._rr = 0  # replica round-robin cursor
+        self._fn_cache: Dict[Tuple[int, int, int], object] = {}
         logger.info(
             "sharded tiled '%s': %d partitions over %d chips "
             "(%d replicated), %d chunks/chip max, %.1f MB/chip",
@@ -161,10 +161,15 @@ class ShardedTiledSearcher:
 
     # ----------------------------------------------------------- dispatch
 
-    @functools.lru_cache(maxsize=None)
     def _dispatch_fn(self, slots: int, cb: int, k: int):
         """Compiled SPMD step: every chip scans its own slot batch against
-        its local chunks. Cached per (slots, chunk-capacity, k) shape."""
+        its local chunks. Cached per (slots, chunk-capacity, k) shape in a
+        per-instance dict — an lru_cache on the bound method would key on
+        self and pin every searcher's device arrays for the process
+        lifetime."""
+        cached = self._fn_cache.get((slots, cb, k))
+        if cached is not None:
+            return cached
         import jax
         from jax.sharding import PartitionSpec as P
 
@@ -194,7 +199,8 @@ class ShardedTiledSearcher:
             out_specs=(P(SHARD_AXIS, None, None, None),
                        P(SHARD_AXIS, None, None, None)),
         )
-        return jax.jit(fn)
+        self._fn_cache[(slots, cb, k)] = jax.jit(fn)
+        return self._fn_cache[(slots, cb, k)]
 
     # ------------------------------------------------------------- search
 

@@ -42,6 +42,10 @@ def make_partition_index(
             arena, rows,
             query_batch=cfg.search.batch_size,
             block_rows=min(cfg.search.block_rows, 8192),
+            # compressed wire for the single global index only; partition
+            # tiers feed cross-partition merges, which must compare exact
+            # f32 distances
+            wire=cfg.search.wire_dist if rows is None else "f32",
         )
     if kind == "flat":
         return FlatIndex(
@@ -78,6 +82,7 @@ def make_partition_index(
             query_batch=cfg.search.batch_size,
             builder="acorn" if cfg.index.hnsw_m_beta else "auto",
             m_beta=cfg.index.hnsw_m_beta or 64,
+            logical=cfg.index.hnsw_logical,
         )
     raise ValueError(f"unknown index kind {kind}")
 
@@ -148,8 +153,13 @@ class PartitionedSearcher:
         # ef, ACORN-style filtered traversal — replacing pgvector's
         # iterative rescans): queries then sub-group by those kwargs.
         probe_params = getattr(self, "probe_params", None)
+        # graph_batcher (partition/graph_batch.py): probe groups on
+        # logical-mode HNSW partitions collapse into slotted multi-graph
+        # dispatches instead of one device call per (comb, partition)
+        batcher = getattr(self, "graph_batcher", None)
         part_results: Dict[int, Tuple[np.ndarray, np.ndarray, Dict[int, int]]] = {}
         deferred: Dict[int, object] = {}
+        graph_jobs: List[Tuple[int, List[int], dict]] = []
         with self.timer.stage("device_scan"):
             for pid, qidx in pid_to_queries.items():
                 part = self.partitions[pid]
@@ -165,7 +175,18 @@ class PartitionedSearcher:
                         by_kw.setdefault(key, []).append(qi)
                     if set(by_kw) == {None}:
                         by_kw = None  # whole partition probe-free
-                if by_kw is not None:
+                if by_kw is not None and batcher is not None \
+                        and pid in batcher.pids:
+                    pos = {qi: j for j, qi in enumerate(qidx)}
+                    part_results[pid] = (
+                        np.full((len(qidx), k), np.inf, dtype=np.float32),
+                        np.full((len(qidx), k), -1, dtype=np.int64),
+                        pos,
+                    )
+                    for kw_items, qsub in by_kw.items():
+                        graph_jobs.append(
+                            (pid, qsub, dict(kw_items) if kw_items else {}))
+                elif by_kw is not None:
                     d = np.full((len(qidx), k), np.inf, dtype=np.float32)
                     i = np.full((len(qidx), k), -1, dtype=np.int64)
                     pos = {qi: j for j, qi in enumerate(qidx)}
@@ -185,6 +206,12 @@ class PartitionedSearcher:
                     d, i = part.index.search(queries[qidx], qmasks[qidx], k)
                     pos = {qi: j for j, qi in enumerate(qidx)}
                     part_results[pid] = (d, i, pos)
+            if graph_jobs:
+                job_res = batcher.run(queries, qmasks, graph_jobs, k)
+                for (pid, qsub, _), (dd, ii) in zip(graph_jobs, job_res):
+                    d, i, pos = part_results[pid]
+                    for j, qi in enumerate(qsub):
+                        d[pos[qi]], i[pos[qi]] = dd[j], ii[j]
             for pid, fin in deferred.items():
                 d, i = fin()
                 qidx = pid_to_queries[pid]

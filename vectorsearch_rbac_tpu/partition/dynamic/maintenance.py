@@ -22,6 +22,8 @@ from __future__ import annotations
 import math
 from typing import Dict, Optional, Set, Tuple
 
+import numpy as np
+
 from ...models.cost import model_ef_for_recall, model_partition_time
 from ...rbac.world import Comb
 from ...utils.logger import get_logger
@@ -111,6 +113,30 @@ def insert_role(
                 new_role, "new" if is_new else "existing", pid, len(new_role_docs))
     return PartitionPlan(assignment=assignment, trackers=trackers,
                          split_log=plan.split_log), pid
+
+
+def orphaned_docs_after_role_delete(world, role: int) -> Set[int]:
+    """Documents readable ONLY via `role`: deleting the role strands their
+    rows (no surviving role grants access), so the caller should tombstone
+    them (core.tombstone_rows) and eventually compact — this is the hook
+    that makes delete_role actually FREE served rows instead of only
+    pruning plans (round-2 verdict item 4; reference role deletion drops
+    the documentblocks_role_<r> table, whose rows vanish with it)."""
+    others: Set[int] = set()
+    for r, docs in world.role_to_docs.items():
+        if r != role:
+            others.update(docs)
+    return set(world.role_to_docs.get(role, ())) - others
+
+
+def orphaned_rows_after_role_delete(world, doc_ids: np.ndarray,
+                                    role: int) -> np.ndarray:
+    """Arena rows of the orphaned docs (see orphaned_docs_after_role_delete)."""
+    docs = orphaned_docs_after_role_delete(world, role)
+    if not docs:
+        return np.empty(0, dtype=np.int64)
+    return np.nonzero(np.isin(doc_ids, np.fromiter(
+        docs, dtype=np.int64, count=len(docs))))[0].astype(np.int64)
 
 
 def delete_role(

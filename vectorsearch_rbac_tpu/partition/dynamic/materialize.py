@@ -186,12 +186,21 @@ def build_dynamic_searcher(
         graph_pids = {pid for pid, s in sel_min.items() if s >= thr}
         cfg_graph = copy.deepcopy(cfg)
         cfg_graph.index.kind = "hnsw"
+        # graph partitions serve from the shared arena (logical mode) so
+        # the GraphProbeBatcher can stack them into slab dispatches
+        cfg_graph.index.hnsw_logical = True
         cfg_flat = copy.deepcopy(cfg)
         cfg_flat.index.kind = "flat_approx"
         logger.info(
             "hybrid dynamic: %d/%d partitions serve graphs (min comb sel >= %.2f)",
             len(graph_pids), len(partition_rows), thr,
         )
+
+    if cfg.index.kind == "hnsw" and not cfg.index.hnsw_logical:
+        import copy as _copy
+
+        cfg = _copy.deepcopy(cfg)
+        cfg.index.hnsw_logical = True   # batchable + no vector duplication
 
     def _pid_cfg(pid: int) -> FrameworkConfig:
         if not hybrid:
@@ -266,6 +275,16 @@ def build_dynamic_searcher(
             return kw
 
         searcher.probe_params = probe_params
+
+        # slab-batch the graph probes: one dispatch per (class, ef bucket)
+        # instead of one per (comb, partition) — round-2 verdict item 2
+        from ...index.hnsw import HNSWIndex
+        from ..graph_batch import GraphProbeBatcher
+
+        gparts = {pid: p.index for pid, p in partitions.items()
+                  if isinstance(p.index, HNSWIndex) and p.index.logical}
+        if gparts:
+            searcher.graph_batcher = GraphProbeBatcher(arena, gparts)
     return searcher
 
 

@@ -1,0 +1,177 @@
+"""GraphProbeBatcher: slotted multi-partition graph-search dispatches.
+
+The graph analog of ops/tiled_scan.tiled_bucket_topk (round-2 verdict item
+2): a hybrid-dynamic strategy routes each query batch to 100+ per-(comb,
+partition) probe groups, and the round-2 engine issued ONE device dispatch
+per group (partition/base.py probe_params sub-grouping) — 100+ graph
+searches per batch through a ~35 ms-floor tunnel collapsed hybrid dynamic
+to 318 QPS at 1M (results/anonysys_hnsw_1m_r2.json). Here all logical-mode
+HNSW partitions of one pow2 size class stack into a (P, n_class, M0) graph
+slab + (P, n_class) row-map slab on device, and every probe group that
+shares (class, ef bucket, max_steps bucket, harvest flag) joins ONE
+multi-graph iterative-search dispatch: each query carries its partition id
+and traverses graph[pid] (ops/graph_search.py `pids` mode), with vectors
+and role bits gathered from the SHARED arena. Dispatch count per batch
+drops from O(combs x partitions) to O(classes x ef-buckets).
+
+Mirrors pgvector's one-scan-per-query HNSW probes (reference
+pgvector/src/hnswscan.c) the TPU way: batch-synchronous beams, shared
+storage, compile-bounded pow2 shape classes.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..core import DeviceArena
+from ..ops.topk import merge_topk_host
+from ..utils.logger import get_logger
+
+logger = get_logger("partition.graph_batch")
+
+# visited-bitmap budget per dispatch: q_chunk * n_class bools
+_VISITED_BUDGET = 1 << 26
+
+
+def _pow2(n: int) -> int:
+    return 1 << (max(int(n), 1) - 1).bit_length()
+
+
+class GraphProbeBatcher:
+    """Stacks logical-mode HNSW partitions into per-class device slabs and
+    serves probe groups in batched multi-graph dispatches."""
+
+    def __init__(self, arena: DeviceArena, hnsw_parts: Dict[int, object]):
+        import jax
+
+        self.arena = arena
+        self.pids = set(hnsw_parts)
+        self.metric = arena.metric
+        # class key = (n_class, m0); HNSW graphs are already pow2-padded
+        by_class: Dict[Tuple[int, int], List[int]] = {}
+        graphs_np: Dict[int, np.ndarray] = {}
+        rowmaps_np: Dict[int, np.ndarray] = {}
+        self.entry_of: Dict[int, int] = {}
+        for pid, idx in sorted(hnsw_parts.items()):
+            assert getattr(idx, "logical", False), (
+                "GraphProbeBatcher needs logical-mode HNSW partitions "
+                "(shared-arena serving; cfg.index.hnsw_logical)"
+            )
+            g = np.asarray(idx._graph)
+            rm = np.asarray(idx._row_map)
+            graphs_np[pid] = g
+            rowmaps_np[pid] = rm
+            self.entry_of[pid] = int(idx.entry)
+            by_class.setdefault(g.shape, []).append(pid)
+
+        # one stacked slab per class
+        self.class_of: Dict[int, Tuple[int, int]] = {}
+        self.slot_of: Dict[int, int] = {}
+        self.slabs: Dict[Tuple[int, int], tuple] = {}
+        self.rowmap_host: Dict[Tuple[int, int], np.ndarray] = {}
+        for shape, pids in by_class.items():
+            g3 = np.stack([graphs_np[p] for p in pids])
+            rm2 = np.stack([rowmaps_np[p] for p in pids])
+            self.slabs[shape] = (jax.device_put(g3), jax.device_put(rm2))
+            self.rowmap_host[shape] = rm2
+            for slot, p in enumerate(pids):
+                self.class_of[p] = shape
+                self.slot_of[p] = slot
+        logger.info(
+            "graph batcher: %d partitions in %d classes %s",
+            len(hnsw_parts), len(by_class),
+            sorted((s[0], len(p)) for s, p in by_class.items()),
+        )
+
+    # ------------------------------------------------------------------ run
+
+    def run(
+        self,
+        queries: np.ndarray,     # (Q, d) float32 — the FULL batch
+        qmasks: np.ndarray,      # (Q, W) uint32
+        jobs: Sequence[Tuple[int, List[int], dict]],  # (pid, query idx, kw)
+        k: int,
+    ) -> List[Tuple[np.ndarray, np.ndarray]]:
+        """Execute all probe jobs in batched dispatches. Returns, per job,
+        (dists (len(qsub), k), arena row ids (len(qsub), k))."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.graph_search import graph_search_iterative_fn
+
+        out: List[Optional[Tuple[np.ndarray, np.ndarray]]] = [None] * len(jobs)
+        groups: Dict[tuple, List[int]] = {}
+        for j, (pid, _, kw) in enumerate(jobs):
+            key = (self.class_of[pid], int(kw.get("ef_search", 64)),
+                   int(kw.get("max_steps", 256)),
+                   bool(kw.get("harvest_2hop", False)))
+            groups.setdefault(key, []).append(j)
+
+        pending = []
+        for (shape, ef, ms, harv), job_ids in sorted(groups.items()):
+            g3, rm2 = self.slabs[shape]
+            n_class = shape[0]
+            # flatten all member jobs' queries into one stream
+            qis: List[int] = []
+            pvec: List[int] = []
+            evec: List[int] = []
+            spans: List[Tuple[int, int, int]] = []  # (job, start, len)
+            for j in job_ids:
+                pid, qsub, kw = jobs[j]
+                slot = self.slot_of[pid]
+                ent = int(kw.get("entry_local", self.entry_of[pid]))
+                spans.append((j, len(qis), len(qsub)))
+                qis.extend(qsub)
+                pvec.extend([slot] * len(qsub))
+                evec.extend([ent] * len(qsub))
+            qarr = np.asarray(qis, dtype=np.int64)
+            parr = np.asarray(pvec, dtype=np.int32)
+            earr = np.asarray(evec, dtype=np.int32)
+
+            ef_eff = max(ef, k + 1)
+            kk = min(k + 8, ef_eff)
+            qchunk = _pow2(min(max(_VISITED_BUDGET // max(n_class, 1), 32),
+                               4096))
+            chunk_res: List[Tuple[np.ndarray, np.ndarray]] = []
+            for s in range(0, len(qarr), qchunk):
+                e = min(s + qchunk, len(qarr))
+                bs = qchunk if len(qarr) > qchunk else _pow2(e - s)
+                qb = np.zeros((bs, queries.shape[1]), np.float32)
+                mb = np.zeros((bs, qmasks.shape[1]), np.uint32)
+                pb = np.zeros(bs, np.int32)
+                eb = np.zeros(bs, np.int32)
+                qb[: e - s] = queries[qarr[s:e]]
+                mb[: e - s] = qmasks[qarr[s:e]]
+                pb[: e - s] = parr[s:e]
+                eb[: e - s] = earr[s:e]
+                d, i = graph_search_iterative_fn(
+                    jnp.asarray(qb), self.arena.vectors, self.arena.norms,
+                    self.arena.role_bits, g3, jnp.asarray(mb),
+                    jnp.asarray(eb), kk, ef_eff, ms, harv,
+                    row_map=rm2, metric=self.metric, pids=jnp.asarray(pb),
+                )
+                chunk_res.append((s, e, d, i))
+            pending.append((shape, spans, qarr, parr, chunk_res))
+
+        # drain: local ids -> arena rows, host dedupe to k, scatter to jobs
+        for shape, spans, qarr, parr, chunk_res in pending:
+            rm_host = self.rowmap_host[shape]
+            dd = np.empty((len(qarr), k), np.float32)
+            ii = np.empty((len(qarr), k), np.int64)
+            for s, e, d, i in chunk_res:
+                d = np.asarray(d)[: e - s].astype(np.float64)
+                i = np.asarray(i)[: e - s].astype(np.int64)
+                arena_i = np.where(
+                    i >= 0,
+                    rm_host[parr[s:e, None],
+                            np.maximum(i, 0)].astype(np.int64),
+                    -1,
+                )
+                md, mi = merge_topk_host([d], [arena_i], k)
+                dd[s:e] = md
+                ii[s:e] = mi
+            for j, start, ln in spans:
+                out[j] = (dd[start:start + ln], ii[start:start + ln])
+        return out  # type: ignore[return-value]

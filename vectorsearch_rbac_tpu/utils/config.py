@@ -31,6 +31,10 @@ class SearchConfig:
     scan_group: int = 32         # tiled chunk engine epilogue: packed
                                  # group-min width (0 = exact per-chunk
                                  # top-k; see ops/tiled_scan.py)
+    wire_dist: str = "u8"        # global-path result-distance wire coding:
+                                 # "u8" per-query affine byte (3.6 B/result,
+                                 # measured 40k -> 71k QPS through the
+                                 # tunnel), "bf16", or "f32" (exact)
 
 
 @dataclass
@@ -52,6 +56,11 @@ class IndexConfig:
     # (graph traversal under partial filters structurally under-delivers —
     # see results/anonysys_hnsw_1m.json and PERF.md index-selection table)
     hybrid_sel_threshold: float = 0.5
+    # graph partitions serve from the SHARED arena via row_map indirection
+    # (no per-partition vector copies — the reference's pointer/logical
+    # partition mode, shared_vector_table.h) and become batchable into
+    # multi-partition slab dispatches (partition/graph_batch.py)
+    hnsw_logical: bool = False
 
 
 @dataclass

@@ -52,14 +52,29 @@ def load_npz(path: str):
 
 
 def save_params(params, path: str) -> None:
-    """Fitted cost-model params (the parameter_hnsw.json analog)."""
+    """Fitted cost-model params (the parameter_hnsw.json analog). A
+    `family` tag records which model class the numbers belong to so
+    load_params reconstructs the right one (reference keeps separate
+    parameter_<index>.json files per index, get_parameter.py)."""
+    from ..models.cost import IVFCoverageParams, TPUCostParams
+
     _ensure_dir(path)
+    d = params.to_dict()
+    d["family"] = ("ivf_coverage" if isinstance(params, IVFCoverageParams)
+                   else "tpu" if isinstance(params, TPUCostParams)
+                   else "reference")
     with open(path, "w") as f:
-        json.dump(params.to_dict(), f, indent=2)
+        json.dump(d, f, indent=2)
 
 
 def load_params(path: str):
-    from ..models.cost import CostModelParams
+    from ..models.cost import (
+        CostModelParams, IVFCoverageParams, TPUCostParams,
+    )
 
     with open(path) as f:
-        return CostModelParams.from_dict(json.load(f))
+        d = json.load(f)
+    fam = d.pop("family", "reference")
+    cls = {"ivf_coverage": IVFCoverageParams,
+           "tpu": TPUCostParams}.get(fam, CostModelParams)
+    return cls.from_dict(d)
