@@ -9,7 +9,9 @@ roles, 1M x 128 clustered SIFT-like, top-10):
      int8 flat chunks for mixed partitions;
   C. packed int8 tiled flat scan (the round-1 production fallback, 408 QPS).
 
-Writes results/anonysys_hnsw_1m_r2.json.
+Writes results/anonysys_hnsw_1m_r3.json (round-3: graph probes batched
+into multi-graph slab dispatches, partition/graph_batch.py — the round-2
+artifact measured 318 QPS from 100+ per-(comb,partition) dispatches).
 """
 import gc
 import json
@@ -128,6 +130,6 @@ ngraph = sum(1 for p in s_hyb.partitions.values()
 out["hybrid_graph_partitions"] = ngraph
 out["hybrid"] = measure(s_hyb, f"B hybrid ({ngraph} graph partitions)")
 
-with open("results/anonysys_hnsw_1m_r2.json", "w") as f:
+with open("results/anonysys_hnsw_1m_r3.json", "w") as f:
     json.dump(out, f, indent=2)
 print(json.dumps(out, indent=2))

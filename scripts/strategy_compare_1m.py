@@ -1,5 +1,7 @@
-"""Five-strategy comparison at 1M on the tiled int8 engines (round-2
-refresh of STRATEGY_RESULTS.md; mirrors reference test_all.py's sweep).
+"""Five-strategy comparison at 1M on the tiled int8 engines (round-3
+refresh of STRATEGY_RESULTS.md at SHIPPING defaults — qdtree prune_margin
+0.25 included, fixing the round-2 artifact/table mismatch (VERDICT weak
+#3); mirrors reference test_all.py's sweep).
 
 Every strategy must beat its reference CPU counterpart (VERDICT item 3):
 ROLE/USER vs physical role partition 8,470 QPS @ 0.934; AnonySys vs
@@ -77,6 +79,6 @@ for name in ("rls", "role", "user", "dynamic", "qdtree"):
     del s
     gc.collect()
 
-with open("results/strategy_compare_1m_r2.json", "w") as f:
+with open("results/strategy_compare_1m_r3.json", "w") as f:
     json.dump(results, f, indent=2)
 print(json.dumps(results, indent=2))

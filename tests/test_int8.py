@@ -429,3 +429,36 @@ def test_tiled_grouped_epilogue(int_corpus, int_world, int_arena):
                 true = ((int_corpus.vectors[r] - qf[qi]) ** 2).sum()
                 assert abs(d[qi, j] - true) / max(true, 1.0) < 8e-3
     assert hits / total >= 0.85, f"recall {hits/total}"
+
+
+def test_dequant_rerank_matches_shipped_queries(int_world):
+    """rerank_dequant=True (device-side query reconstruction) must produce
+    the same result SETS as shipping f32 queries — only distance values
+    may differ by the query-rounding epsilon."""
+    from vectorsearch_rbac_tpu.core import Corpus, build_device_arena
+    from vectorsearch_rbac_tpu.index.flat_int8 import Int8FlatIndex
+
+    rng = np.random.default_rng(31)
+    n, d = 600, 32
+    vecs = rng.standard_normal((n, d)).astype(np.float32)  # lossy corpus
+    corpus = Corpus(vectors=vecs, doc_ids=np.repeat(np.arange(n // 5), 5),
+                    block_ids=np.arange(n) % 5)
+    world = TreeRBACGenerator(num_users=40, num_roles=16,
+                              num_docs=corpus.num_docs, h=3, b0=2, b1=2,
+                              seed=5).generate()
+    arena = build_device_arena(corpus, world, block_rows=256, dtype="int8")
+    assert not arena.quant.lossless
+    q = rng.standard_normal((12, d)).astype(np.float32)
+    users = rng.integers(0, world.num_users, 12)
+    masks = world.user_masks[users]
+    a = Int8FlatIndex(arena, None, query_batch=16, q_tile=16,
+                      block_rows=256, group=8, rerank_dequant=False)
+    b = Int8FlatIndex(arena, None, query_batch=16, q_tile=16,
+                      block_rows=256, group=8, rerank_dequant=True)
+    assert a.rerank and b.rerank
+    da, ia = a.search(q, masks, 6)
+    db, ib = b.search(q, masks, 6)
+    for qi in range(12):
+        sa = set(int(x) for x in ia[qi] if x >= 0)
+        sb = set(int(x) for x in ib[qi] if x >= 0)
+        assert len(sa & sb) >= len(sa) - 1, (qi, sa, sb)

@@ -100,11 +100,14 @@ def _lazy_jits():
         jax.jit,
         static_argnames=("batch", "k", "kk", "q_tile", "block_rows",
                          "group", "merge", "interpret", "metric",
-                         "kernel_metric", "wide", "id_bits", "wire"))
+                         "kernel_metric", "wide", "id_bits", "wire",
+                         "rerank"))
     def _scan_pack(q8_all, qn_all, m8_all, bias_all, qf_all, start,
                    vq, nq_, r8, row_map, inv, mirror_vec, mirror_norms,
+                   q_dequant, center,
                    batch, k, kk, q_tile, block_rows, group, merge,
-                   interpret, metric, kernel_metric, wide, id_bits, wire):
+                   interpret, metric, kernel_metric, wide, id_bits, wire,
+                   rerank):
         """ONE dispatch per batch: slice the pass arrays, run the fused
         kernel, optional f32 rerank, local->arena id map, wire-pack."""
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, batch)
@@ -115,8 +118,18 @@ def _lazy_jits():
             interpret=interpret, metric=kernel_metric,
             query_bias=sl(bias_all) if bias_all is not None else None,
         )
-        if qf_all is not None:   # rerank tier
-            qf = sl(qf_all)
+        if rerank:   # rerank tier
+            if qf_all is not None:
+                qf = sl(qf_all)
+            else:
+                # dequantized-query rerank: rebuild ~the float query from
+                # its int8 code on device instead of shipping it (wide-d
+                # corpora would otherwise pay d*4 B/query of upload;
+                # query rounding error is <= 0.5/q_scale per component —
+                # far below the corpus quantization error rerank exists
+                # to undo)
+                qf = (sl(q8_all).astype(jnp.float32) * q_dequant
+                      + center[None, :])[:, : mirror_vec.shape[1]]
             if metric == "cosine":
                 qf = qf / jnp.maximum(
                     jnp.linalg.norm(qf, axis=1, keepdims=True), 1e-30)
@@ -178,6 +191,18 @@ class Int8FlatIndex:
                                # 71k QPS on the 16k-query 1M pass
                                # (scripts/r3_perf_lab.py). f32 for partition
                                # tiers feeding a cross-partition merge.
+        rerank_dequant: Optional[bool] = None,  # rerank with device-dequantized
+                               # queries instead of uploading f32 queries
+                               # (saves d*4 B/query of tunnel upload; use
+                               # for wide-d corpora where distance-value
+                               # fidelity of ~0.5/q_scale per component is
+                               # acceptable)
+        merge: str = "cascade",  # group-minima merge: "cascade" (two-stage
+                               # per-subgroup top-t + exact top-k over
+                               # survivors; miss probability ~1e-13, ~4x
+                               # cheaper than one big top_k at 1M-scale
+                               # group counts), "auto" (exact/approx by
+                               # n_groups), "exact", "approx"
         logical: bool = False,  # no-copy mode: keep only the row map on
                                 # device and gather the partition's int8
                                 # rows from the SHARED arena at query time
@@ -237,6 +262,11 @@ class Int8FlatIndex:
         self.rerank_margin = rerank_margin
         self.dist16 = dist16
         self.wire = wire or ("bf16" if dist16 else "f32")
+        self.merge = merge
+        # auto: wide-d corpora dequant-rerank (shipping 768 f32 components
+        # per query would cost more upload than the whole int8 pass)
+        self.rerank_dequant = (self.wide if rerank_dequant is None
+                               else rerank_dequant)
 
         self.logical = logical and rows is not None
         if rows is None:
@@ -355,16 +385,27 @@ class Int8FlatIndex:
             bb[: nq * 4] = bias.astype(np.float32).view(np.uint8).reshape(-1)
             parts.append(bb)
         # the rerank tier rescores against the f32 mirror, so the float
-        # queries ride the pass buffer too (only when rerank is on — the
-        # lossless l2 path keeps the 148 B/query wire)
-        if self.rerank:
+        # queries ride the pass buffer too (only when rerank is on and not
+        # served by the device-side dequant reconstruction — the lossless
+        # l2 path keeps the 148 B/query wire)
+        ship_qf = self.rerank and not self.rerank_dequant
+        if ship_qf:
             qb = np.zeros(npq * 4 * qf.shape[1], np.uint8)
             qb[: nq * 4 * qf.shape[1]] = qf.view(np.uint8).reshape(-1)
             parts.append(qb)
         buf = jax.device_put(np.concatenate(parts))
         q8j, qnj, m8j, biasj, qfj = _unpack_pass(
             buf, npq, d_cols, w, r_pad, has_bias,
-            qf.shape[1] if self.rerank else 0)
+            qf.shape[1] if ship_qf else 0)
+        if self.metric == "l2":
+            q_dequant = jnp.float32(1.0 / quant.scale)
+            center_d = jnp.asarray(np.concatenate(
+                [quant.center.astype(np.float32),
+                 np.zeros(d_cols - len(quant.center), np.float32)]))
+        else:
+            # quantize_queries_ip: q8 = round(q * qs), inv = 1/(qs*scale)
+            q_dequant = jnp.float32(float(inv) * quant.scale)
+            center_d = jnp.zeros(d_cols, jnp.float32)
 
         mirror_vec = self._arena.vectors if self.rerank else None
         mirror_norms = self._arena.norms if self.rerank else None
@@ -373,12 +414,12 @@ class Int8FlatIndex:
             wire = _scan_pack_batch(
                 q8j, qnj, m8j, biasj, qfj, jnp.int32(s),
                 vq_d, nq_d, r8_d, self._row_map, inv,
-                mirror_vec, mirror_norms,
+                mirror_vec, mirror_norms, q_dequant, center_d,
                 batch=bs, k=k, kk=kk, q_tile=q_tile,
                 block_rows=self.block_rows, group=self.group,
-                merge="auto", interpret=interp, metric=self.metric,
+                merge=self.merge, interpret=interp, metric=self.metric,
                 kernel_metric=kernel_metric, wide=self.wide,
-                id_bits=self._id_bits, wire=wire_fmt,
+                id_bits=self._id_bits, wire=wire_fmt, rerank=self.rerank,
             )
             try:
                 wire.copy_to_host_async()
