@@ -102,9 +102,11 @@ def run_benchmark(
     for _ in range(warmup_runs):
         searcher.search_batch(q, users, masks, k)
 
-    # throughput: median of three timed passes over the full workload
+    # throughput: median of five timed passes over the full workload (the
+    # tunnel's minute-scale bandwidth weather swings single passes ~2x;
+    # five samples stabilize the median without biasing toward best-case)
     walls = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         dists, ids = searcher.search_batch(q, users, masks, k)
         walls.append(time.perf_counter() - t0)
@@ -161,6 +163,7 @@ def run_benchmark(
             } if getattr(searcher, "timer", None) else {},
             batched_ms_per_query=wall / nq * 1000.0,
             latency_sample=n_lat,
+            pass_walls_ms=[round(w * 1000.0, 1) for w in walls],
         ),
     )
     logger.info(
