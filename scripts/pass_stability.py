@@ -32,8 +32,12 @@ print(f"warm {time.perf_counter()-t0:.1f}s", flush=True)
 walls = []
 for r in range(12):
     t0 = time.perf_counter()
-    idx.search(queries, qmasks, K)
+    fin = idx.search_deferred(queries, qmasks, K)
+    t_enq = time.perf_counter() - t0
+    fin()
     w = time.perf_counter() - t0
     walls.append(w)
-    print(f"pass {r:2d}: {w*1000:7.1f} ms  ({NQ/w:7.0f} QPS)", flush=True)
+    print(f"pass {r:2d}: {w*1000:7.1f} ms  ({NQ/w:7.0f} QPS)  "
+          f"enqueue {t_enq*1000:7.1f} ms  drain {(w-t_enq)*1000:7.1f} ms",
+          flush=True)
 print("median", np.median(walls) * 1000, "best", min(walls) * 1000)

@@ -53,7 +53,7 @@ _JITS = None
 
 
 def _lazy_jits():
-    """Build the pass-level jitted helpers once (jax imported lazily)."""
+    """Build the per-batch fused dispatch once (jax imported lazily)."""
     global _JITS
     if _JITS is not None:
         return _JITS
@@ -68,59 +68,57 @@ def _lazy_jits():
     )
 
     @functools.partial(
-        jax.jit, static_argnames=("npq", "d", "w", "r_pad", "has_bias", "dq"))
-    def _unpack(buf, npq, d, w, r_pad, has_bias, dq):
-        """ONE uint8 pass buffer -> (q8, qn, one-hot masks, bias?, qf?)."""
-        off = 0
-        q8 = jax.lax.bitcast_convert_type(
-            buf[off:off + npq * d].reshape(npq, d), jnp.int8)
-        off += npq * d
-        qn = jax.lax.bitcast_convert_type(
-            buf[off:off + npq * 4].reshape(npq, 4), jnp.int32)
-        off += npq * 4
-        mk = jax.lax.bitcast_convert_type(
-            buf[off:off + npq * 4 * w].reshape(npq, w, 4), jnp.uint32)
-        off += npq * 4 * w
-        bias = None
-        if has_bias:
-            bias = jax.lax.bitcast_convert_type(
-                buf[off:off + npq * 4].reshape(npq, 4), jnp.float32)
-            off += npq * 4
-        qf = None
-        if dq:
-            qf = jax.lax.bitcast_convert_type(
-                buf[off:off + npq * 4 * dq].reshape(npq, dq, 4), jnp.float32)
-        return q8, qn, expand_masks_device(mk, r_pad), bias, qf
-
-    def _unpack_entry(buf, npq, d, w, r_pad, has_bias, dq):
-        return _unpack(buf, npq=npq, d=d, w=w, r_pad=r_pad,
-                       has_bias=bool(has_bias), dq=dq)
-
-    @functools.partial(
         jax.jit,
-        static_argnames=("batch", "k", "kk", "q_tile", "block_rows",
-                         "group", "merge", "interpret", "metric",
-                         "kernel_metric", "wide", "id_bits", "wire",
-                         "rerank"))
-    def _scan_pack(q8_all, qn_all, m8_all, bias_all, qf_all, start,
-                   vq, nq_, r8, row_map, inv, mirror_vec, mirror_norms,
-                   q_dequant, center,
-                   batch, k, kk, q_tile, block_rows, group, merge,
-                   interpret, metric, kernel_metric, wide, id_bits, wire,
-                   rerank):
-        """ONE dispatch per batch: slice the pass arrays, run the fused
-        kernel, optional f32 rerank, local->arena id map, wire-pack."""
-        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, batch)
+        static_argnames=("batch", "d", "w", "r_pad", "has_bias", "dq",
+                         "k", "kk", "q_tile", "block_rows", "group",
+                         "merge", "interpret", "metric", "kernel_metric",
+                         "wide", "id_bits", "wire", "rerank"))
+    def _scan_pack(buf_all, bidx, vq, nq_, r8, row_map, inv, mirror_vec,
+                   mirror_norms, q_dequant, center,
+                   batch, d, w, r_pad, has_bias, dq, k, kk, q_tile,
+                   block_rows, group, merge, interpret, metric,
+                   kernel_metric, wide, id_bits, wire, rerank):
+        """ONE dispatch per batch: slice this batch's packed uint8 row out
+        of the pass buffer (int8 queries + norms + uint32 mask bitsets
+        [+ bias] [+ f32 queries]), unpack, run the fused kernel, optional
+        f32 rerank, local->arena id map, wire-pack. The pass buffer is ONE
+        host->device transfer: every tunnel call is a fresh draw against
+        multi-second stall events (scripts/pass_stability.py measured
+        per-batch uploads stalling 4 of 12 passes), so call count is
+        minimized even at the cost of a serial upload head."""
+        buf = jax.lax.dynamic_index_in_dim(buf_all, bidx, axis=0,
+                                           keepdims=False)
+        off = 0
+        q8b = jax.lax.bitcast_convert_type(
+            buf[off:off + batch * d].reshape(batch, d), jnp.int8)
+        off += batch * d
+        qnb = jax.lax.bitcast_convert_type(
+            buf[off:off + batch * 4].reshape(batch, 4), jnp.int32)
+        off += batch * 4
+        mk = jax.lax.bitcast_convert_type(
+            buf[off:off + batch * 4 * w].reshape(batch, w, 4), jnp.uint32)
+        off += batch * 4 * w
+        bias_b = None
+        if has_bias:
+            bias_b = jax.lax.bitcast_convert_type(
+                buf[off:off + batch * 4].reshape(batch, 4), jnp.float32)
+            off += batch * 4
+        qf_b = None
+        if dq:
+            qf_b = jax.lax.bitcast_convert_type(
+                buf[off:off + batch * 4 * dq].reshape(batch, dq, 4),
+                jnp.float32)
+        m8b = expand_masks_device(mk, r_pad)
+
         kern = int8_masked_topk_wide if wide else int8_masked_topk
-        d, i = kern(
-            sl(q8_all), sl(qn_all), vq, nq_, r8, sl(m8_all), inv, kk,
+        dd, ii = kern(
+            q8b, qnb, vq, nq_, r8, m8b, inv, kk,
             q_tile=q_tile, block_rows=block_rows, group=group, merge=merge,
-            interpret=interpret, metric=kernel_metric,
-            query_bias=sl(bias_all) if bias_all is not None else None,
+            interpret=interpret, metric=kernel_metric, query_bias=bias_b,
         )
         if rerank:   # rerank tier
-            if qf_all is not None:
-                qf = sl(qf_all)
+            if qf_b is not None:
+                qf = qf_b
             else:
                 # dequantized-query rerank: rebuild ~the float query from
                 # its int8 code on device instead of shipping it (wide-d
@@ -128,46 +126,40 @@ def _lazy_jits():
                 # query rounding error is <= 0.5/q_scale per component —
                 # far below the corpus quantization error rerank exists
                 # to undo)
-                qf = (sl(q8_all).astype(jnp.float32) * q_dequant
+                qf = (q8b.astype(jnp.float32) * q_dequant
                       + center[None, :])[:, : mirror_vec.shape[1]]
             if metric == "cosine":
                 qf = qf / jnp.maximum(
                     jnp.linalg.norm(qf, axis=1, keepdims=True), 1e-30)
-            safe = jnp.maximum(i, 0)
+            safe = jnp.maximum(ii, 0)
             x = jnp.take(mirror_vec, safe, axis=0).astype(jnp.float32)
             dots = jnp.einsum("qd,qkd->qk", qf, x,
                               preferred_element_type=jnp.float32)
             if metric == "l2":
                 nrm = jnp.take(mirror_norms, safe, axis=0)
-                dd = jnp.maximum(
+                d2 = jnp.maximum(
                     nrm - 2.0 * dots
                     + jnp.sum(qf * qf, axis=1, keepdims=True), 0.0)
             elif metric == "cosine":
-                dd = jnp.clip(1.0 - dots, 0.0, 2.0)
+                d2 = jnp.clip(1.0 - dots, 0.0, 2.0)
             else:
-                dd = -dots
-            dd = jnp.where(i >= 0, dd, jnp.inf)
-            neg, pos = jax.lax.top_k(-dd, k)
-            d = -neg
-            i = jnp.take_along_axis(i, pos, axis=1)
+                d2 = -dots
+            d2 = jnp.where(ii >= 0, d2, jnp.inf)
+            neg, pos = jax.lax.top_k(-d2, k)
+            dd = -neg
+            ii = jnp.take_along_axis(ii, pos, axis=1)
         if row_map is not None:
-            i = jnp.where(i < 0, -1,
-                          jnp.take(row_map, jnp.maximum(i, 0)))
-        return pack_results_device(d[:, :k], i[:, :k], id_bits=id_bits,
+            ii = jnp.where(ii < 0, -1,
+                           jnp.take(row_map, jnp.maximum(ii, 0)))
+        return pack_results_device(dd[:, :k], ii[:, :k], id_bits=id_bits,
                                    dist=wire)
 
-    _JITS = (_unpack_entry, _scan_pack)
+    _JITS = _scan_pack
     return _JITS
 
 
-def _unpack_pass(*a, **kw):
-    fn, _ = _lazy_jits()
-    return fn(*a, **kw)
-
-
 def _scan_pack_batch(*a, **kw):
-    _, fn = _lazy_jits()
-    return fn(*a, **kw)
+    return _lazy_jits()(*a, **kw)
 
 
 class Int8FlatIndex:
@@ -364,39 +356,39 @@ class Int8FlatIndex:
         wire_fmt = self.wire if (self.wire != "u8" or k % 2 == 0) else "bf16"
         kk = k + self.rerank_margin if self.rerank else k
 
-        # ONE packed host buffer + ONE device_put for the whole pass (the
-        # tunnel charges ~24 ms of floor per call and ~50-75 MB/s; per-
-        # batch per-array uploads were the round-2 pass's hidden serial
-        # term — measured in scripts/r3_perf_lab.py section A), then one
-        # fused scan+rerank+pack dispatch per batch whose async D2H copy
-        # overlaps later batches' compute.
+        # ONE device_put per PASS of per-batch packed buffers stacked into
+        # a (n_batches, bytes) uint8 array; each batch's fused dispatch
+        # slices its own row on device. One transfer per pass matters more
+        # than overlapping the upload head: every tunnel call is a fresh
+        # draw against multi-second stall events (per-batch uploads stalled
+        # 4 of 12 passes vs ~1 of 12 for a single upload, measured in
+        # scripts/pass_stability.py), and fusing the unpack into the scan
+        # dispatch removes the pass-level unpack round.
         npq = -(-nq // bs) * bs
         d_cols = q8.shape[1]
         w = masks.shape[1]
-        parts = [np.zeros(npq * d_cols, np.uint8),
-                 np.zeros(npq * 4, np.uint8),
-                 np.zeros(npq * 4 * w, np.uint8)]
-        parts[0][: nq * d_cols] = q8.view(np.uint8).reshape(-1)
-        parts[1][: nq * 4] = qn.view(np.uint8).reshape(-1)
-        parts[2][: nq * 4 * w] = masks.view(np.uint8).reshape(-1)
         has_bias = bias is not None
-        if has_bias:
-            bb = np.zeros(npq * 4, np.uint8)
-            bb[: nq * 4] = bias.astype(np.float32).view(np.uint8).reshape(-1)
-            parts.append(bb)
-        # the rerank tier rescores against the f32 mirror, so the float
-        # queries ride the pass buffer too (only when rerank is on and not
-        # served by the device-side dequant reconstruction — the lossless
-        # l2 path keeps the 148 B/query wire)
         ship_qf = self.rerank and not self.rerank_dequant
-        if ship_qf:
-            qb = np.zeros(npq * 4 * qf.shape[1], np.uint8)
-            qb[: nq * 4 * qf.shape[1]] = qf.view(np.uint8).reshape(-1)
-            parts.append(qb)
-        buf = jax.device_put(np.concatenate(parts))
-        q8j, qnj, m8j, biasj, qfj = _unpack_pass(
-            buf, npq, d_cols, w, r_pad, has_bias,
-            qf.shape[1] if ship_qf else 0)
+
+        def _col(arr, width, s):
+            out = np.zeros(bs * width, np.uint8)
+            e = min(s + bs, nq)
+            if e > s:
+                out[: (e - s) * width] = (
+                    np.ascontiguousarray(arr[s:e]).view(np.uint8).reshape(-1))
+            return out
+
+        def _batch_buf(s):
+            seg = [_col(q8, d_cols, s), _col(qn, 4, s),
+                   _col(masks, 4 * w, s)]
+            if has_bias:
+                seg.append(_col(bias.astype(np.float32), 4, s))
+            if ship_qf:
+                seg.append(_col(qf, 4 * qf.shape[1], s))
+            return np.concatenate(seg)
+
+        buf_all = jax.device_put(
+            np.stack([_batch_buf(s) for s in range(0, npq, bs)]))
         if self.metric == "l2":
             q_dequant = jnp.float32(1.0 / quant.scale)
             center_d = jnp.asarray(np.concatenate(
@@ -410,12 +402,14 @@ class Int8FlatIndex:
         mirror_vec = self._arena.vectors if self.rerank else None
         mirror_norms = self._arena.norms if self.rerank else None
         pending = []
-        for s in range(0, npq, bs):
+        for bi, s in enumerate(range(0, npq, bs)):
             wire = _scan_pack_batch(
-                q8j, qnj, m8j, biasj, qfj, jnp.int32(s),
+                buf_all, jnp.int32(bi),
                 vq_d, nq_d, r8_d, self._row_map, inv,
                 mirror_vec, mirror_norms, q_dequant, center_d,
-                batch=bs, k=k, kk=kk, q_tile=q_tile,
+                batch=bs, d=d_cols, w=w, r_pad=r_pad, has_bias=has_bias,
+                dq=qf.shape[1] if ship_qf else 0,
+                k=k, kk=kk, q_tile=q_tile,
                 block_rows=self.block_rows, group=self.group,
                 merge=self.merge, interpret=interp, metric=self.metric,
                 kernel_metric=kernel_metric, wide=self.wide,
