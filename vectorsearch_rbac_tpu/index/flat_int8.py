@@ -14,6 +14,7 @@ distance order at negligible cost (a (Q, k+margin, d) gather).
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -401,6 +402,17 @@ class Int8FlatIndex:
 
         mirror_vec = self._arena.vectors if self.rerank else None
         mirror_norms = self._arena.norms if self.rerank else None
+        # Fetch threads start PULLING as dispatches are enqueued, not at
+        # finalize: copy_to_host_async is a no-op through the tunnel, so a
+        # finalize-time fetch would serialize the whole 360 B/query result
+        # stream AFTER the last kernel instead of riding in its shadow.
+        # Each np.asarray blocks until its batch's dispatch completes; 8
+        # threads keep ~75 MB/s of concurrent streams (vs 27.9 single,
+        # scripts/r3_perf_lab.py section A) overlapping later batches'
+        # compute.
+        n_batches = -(-npq // bs)
+        pool = (ThreadPoolExecutor(min(n_batches, 8))
+                if n_batches > 1 else None)
         pending = []
         for bi, s in enumerate(range(0, npq, bs)):
             wire = _scan_pack_batch(
@@ -415,31 +427,22 @@ class Int8FlatIndex:
                 kernel_metric=kernel_metric, wide=self.wide,
                 id_bits=self._id_bits, wire=wire_fmt, rerank=self.rerank,
             )
-            try:
-                wire.copy_to_host_async()
-            except (AttributeError, RuntimeError):
-                pass
-            pending.append((s, min(s + bs, nq), wire))
+            fut = pool.submit(np.asarray, wire) if pool is not None else wire
+            pending.append((s, min(s + bs, nq), fut))
 
         def finalize():
             out_d = np.empty((nq, k), dtype=np.float32)
             out_i = np.empty((nq, k), dtype=np.int64)
-            # concurrent device->host fetches overlap tunnel RTTs (8 threads
-            # measured best: 74.5 MB/s vs 27.9 single-stream,
-            # scripts/r3_perf_lab.py section A)
-            if len(pending) > 1:
-                from concurrent.futures import ThreadPoolExecutor
-
-                with ThreadPoolExecutor(min(len(pending), 8)) as pool:
-                    wires = list(pool.map(
-                        np.asarray, [w for _, _, w in pending]))
-            else:
-                wires = [np.asarray(w) for _, _, w in pending]
-            for (s, e, _), w in zip(pending, wires):
-                d, i = unpack_results_host(w, k, id_bits=self._id_bits,
-                                           dist=wire_fmt)
-                out_d[s:e] = d[: e - s]
-                out_i[s:e] = i[: e - s]
+            try:
+                for s, e, fut in pending:
+                    w = fut.result() if pool is not None else np.asarray(fut)
+                    d, i = unpack_results_host(w, k, id_bits=self._id_bits,
+                                               dist=wire_fmt)
+                    out_d[s:e] = d[: e - s]
+                    out_i[s:e] = i[: e - s]
+            finally:
+                if pool is not None:
+                    pool.shutdown()
             return out_d, out_i
 
         return finalize

@@ -248,6 +248,38 @@ class PartitionedSearcher:
                 out_i[qi] = mi[0]
         return out_d, out_i
 
+    def search_batch_deferred(
+        self,
+        queries: np.ndarray,
+        user_ids: np.ndarray,
+        user_masks: np.ndarray,
+        k: int,
+    ) -> Callable[[], Tuple[np.ndarray, np.ndarray]]:
+        """Enqueue a pass (host pack + upload + device dispatches) and
+        return a finalize() -> (dists, ids) that drains it.
+
+        Streaming serving: a caller overlaps pass i's drain with pass
+        i+1's enqueue, hiding each pass's upload head in the previous
+        pass's device time (measured 2.2x on two in-flight 32k-query
+        passes, scripts/r3_overlap_probe.py — the tunnel runs H2D for one
+        pass while kernels/D2H of the other proceed). The true deferred
+        path needs every query to route to one probe-param-free partition
+        whose index supports search_deferred (the rls/global layouts);
+        anything else falls back to a synchronous closure so callers can
+        pipeline unconditionally."""
+        queries = np.asarray(queries, dtype=np.float32)
+        user_ids = np.asarray(user_ids)
+        if (getattr(self, "vector_router", None) is None
+                and getattr(self, "probe_params", None) is None
+                and len(self.partitions) == 1):
+            from ..rbac.world import query_masks_for
+
+            (part,) = self.partitions.values()
+            if hasattr(part.index, "search_deferred"):
+                qmasks = query_masks_for(user_masks, user_ids)
+                return part.index.search_deferred(queries, qmasks, k)
+        return lambda: self.search_batch(queries, user_ids, user_masks, k)
+
     def search_user(
         self, user_id: int, query: np.ndarray, user_masks: np.ndarray, k: int
     ) -> Tuple[np.ndarray, np.ndarray]:
