@@ -462,3 +462,36 @@ def test_dequant_rerank_matches_shipped_queries(int_world):
         sa = set(int(x) for x in ia[qi] if x >= 0)
         sb = set(int(x) for x in ib[qi] if x >= 0)
         assert len(sa & sb) >= len(sa) - 1, (qi, sa, sb)
+
+
+def test_uid_table_wire_matches_mask_wire(int_corpus, int_world, int_arena):
+    """The 2-byte uid wire (resident user-mask table, query norms computed
+    on device) must return EXACTLY the same results as the 16-byte mask
+    wire — same kernel, same admission, only the query's RBAC context
+    travels differently."""
+    from vectorsearch_rbac_tpu.index.flat_int8 import Int8FlatIndex
+
+    rng = np.random.default_rng(77)
+    nq = 24
+    q = int_corpus.vectors[rng.choice(int_corpus.n, nq)].astype(np.float32)
+    users = rng.integers(0, int_world.num_users, nq)
+    masks = int_world.user_masks[users]
+
+    idx = Int8FlatIndex(int_arena, None, query_batch=16, q_tile=16,
+                        block_rows=256, group=8)
+    d_mask, i_mask = idx.search(q, masks, 8)
+    idx.set_user_table(int_world.user_masks)
+    assert idx._user_table is not None
+    d_uid, i_uid = idx.search_deferred(q, None, 8, user_ids=users)()
+    np.testing.assert_array_equal(i_mask, i_uid)
+    np.testing.assert_allclose(d_mask, d_uid, rtol=1e-5, atol=1e-5)
+
+    # searcher-level: the deferred path picks the uid wire up automatically
+    from vectorsearch_rbac_tpu.partition.base import (
+        BuiltPartition, PartitionedSearcher,
+    )
+    s = PartitionedSearcher(
+        int_arena, {0: BuiltPartition(0, None, idx)},
+        router=lambda uid: (0,), name="rls")
+    d_s, i_s = s.search_batch_deferred(q, users, int_world.user_masks, 8)()
+    np.testing.assert_array_equal(i_mask, i_s)

@@ -113,25 +113,39 @@ def run_benchmark(
     # (scripts/pass_stability.py) — with 11 samples the median lands on
     # a stall <5% of the time vs ~16% with 5.
     n_passes = 11
+    # 5 passes in flight measured best on the depth sweep (medians 527 /
+    # 516 / 478 / 467 ms for 2/3/4/5 in flight, scripts/r3_depth_sweep.py)
+    # — a deeper window keeps the tunnel link busy across per-pass gaps
+    depth = 5
     walls = []
     deferred = getattr(searcher, "search_batch_deferred", None)
     if deferred is not None:
-        pending = deferred(q, users, masks, k)   # prime the pipe
+        fins = [deferred(q, users, masks, k)
+                for _ in range(min(depth - 1, n_passes))]   # prime
+        enqueued = len(fins)
         t_prev = time.perf_counter()
         for p in range(n_passes):
-            nxt = (deferred(q, users, masks, k)
-                   if p + 1 < n_passes else None)
-            dists, ids = pending()
+            if enqueued < n_passes:
+                fins.append(deferred(q, users, masks, k))
+                enqueued += 1
+            dists, ids = fins.pop(0)()
             now = time.perf_counter()
             walls.append(now - t_prev)
             t_prev = now
-            pending = nxt
     else:
         for _ in range(n_passes):
             t0 = time.perf_counter()
             dists, ids = searcher.search_batch(q, users, masks, k)
             walls.append(time.perf_counter() - t0)
-    wall = float(np.median(walls))
+    if deferred is not None:
+        # streamed: individual drain-to-drain walls are pipeline artifacts
+        # (early walls absorb the priming, late walls collapse once the
+        # in-flight queue outruns the link), so the sustained rate is the
+        # whole stream's mean — total bytes over total time — not a median
+        # that can land on a collapsed wall
+        wall = float(np.sum(walls)) / len(walls)
+    else:
+        wall = float(np.median(walls))
 
     # latency distribution: TRUE batch-1 dispatches over a query sample —
     # one query per search_batch call, timed individually, so p50/p95/p99

@@ -125,8 +125,13 @@ class ArenaQuant:
     def r_pad(self) -> int:
         return self.roles8.shape[1]
 
-    def quantize_queries(self, q: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        """(Q, d) float32 -> ((Q, d_pad) int8, (Q,) int32 query norms)."""
+    def quantize_queries(self, q: np.ndarray,
+                         with_norms: bool = True
+                         ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        """(Q, d) float32 -> ((Q, d_pad) int8, (Q,) int32 query norms).
+
+        with_norms=False skips the host-side norm einsum (callers that
+        compute sum(q8^2) on device — the serving wire never ships norms)."""
         qs = (np.asarray(q, dtype=np.float32) - self.center[None, :]) * self.scale
         qq = np.clip(np.rint(qs), -self.qclip,
                      min(self.qclip, 127)).astype(np.int8)
@@ -134,6 +139,8 @@ class ArenaQuant:
         if qq.shape[1] < d_pad:
             qq = np.concatenate(
                 [qq, np.zeros((qq.shape[0], d_pad - qq.shape[1]), np.int8)], axis=1)
+        if not with_norms:
+            return qq, None
         qn = np.einsum("qd,qd->q", qq.astype(np.int64), qq.astype(np.int64))
         return qq, qn.astype(np.int32)
 

@@ -70,35 +70,48 @@ def _lazy_jits():
 
     @functools.partial(
         jax.jit,
-        static_argnames=("batch", "d", "w", "r_pad", "has_bias", "dq",
+        static_argnames=("batch", "d", "w", "r_pad", "use_table",
+                         "has_bias", "dq",
                          "k", "kk", "q_tile", "block_rows", "group",
                          "merge", "interpret", "metric", "kernel_metric",
                          "wide", "id_bits", "wire", "rerank"))
     def _scan_pack(buf_all, bidx, vq, nq_, r8, row_map, inv, mirror_vec,
-                   mirror_norms, q_dequant, center,
-                   batch, d, w, r_pad, has_bias, dq, k, kk, q_tile,
-                   block_rows, group, merge, interpret, metric,
+                   mirror_norms, q_dequant, center, user_table,
+                   batch, d, w, r_pad, use_table, has_bias, dq, k, kk,
+                   q_tile, block_rows, group, merge, interpret, metric,
                    kernel_metric, wide, id_bits, wire, rerank):
         """ONE dispatch per batch: slice this batch's packed uint8 row out
-        of the pass buffer (int8 queries + norms + uint32 mask bitsets
-        [+ bias] [+ f32 queries]), unpack, run the fused kernel, optional
-        f32 rerank, local->arena id map, wire-pack. The pass buffer is ONE
-        host->device transfer: every tunnel call is a fresh draw against
-        multi-second stall events (scripts/pass_stability.py measured
-        per-batch uploads stalling 4 of 12 passes), so call count is
-        minimized even at the cost of a serial upload head."""
+        of the pass buffer (int8 queries + uint16 user ids OR uint32 mask
+        bitsets [+ bias] [+ f32 queries]), unpack, run the fused kernel,
+        optional f32 rerank, local->arena id map, wire-pack. The pass
+        buffer is ONE host->device transfer: every tunnel call is a fresh
+        draw against multi-second stall events (scripts/pass_stability.py
+        measured per-batch uploads stalling 4 of 12 passes), so call
+        count is minimized even at the cost of a serial upload head.
+        Query norms never travel: sum(q8^2) is exact int32 on device, and
+        with a resident (num_users, W) mask table a query's RBAC context
+        is a 2-byte user id — 130 B/query on the wire instead of 148
+        (the pass is tunnel-bandwidth-bound end to end)."""
         buf = jax.lax.dynamic_index_in_dim(buf_all, bidx, axis=0,
                                            keepdims=False)
         off = 0
         q8b = jax.lax.bitcast_convert_type(
             buf[off:off + batch * d].reshape(batch, d), jnp.int8)
         off += batch * d
-        qnb = jax.lax.bitcast_convert_type(
-            buf[off:off + batch * 4].reshape(batch, 4), jnp.int32)
-        off += batch * 4
-        mk = jax.lax.bitcast_convert_type(
-            buf[off:off + batch * 4 * w].reshape(batch, w, 4), jnp.uint32)
-        off += batch * 4 * w
+        if kernel_metric == "l2":
+            qnb = jnp.sum(jnp.square(q8b.astype(jnp.int32)), axis=1)
+        else:
+            qnb = jnp.zeros((batch,), jnp.int32)
+        if use_table:
+            uids = jax.lax.bitcast_convert_type(
+                buf[off:off + batch * 2].reshape(batch, 2), jnp.uint16)
+            off += batch * 2
+            mk = jnp.take(user_table, uids.astype(jnp.int32), axis=0)
+        else:
+            mk = jax.lax.bitcast_convert_type(
+                buf[off:off + batch * 4 * w].reshape(batch, w, 4),
+                jnp.uint32)
+            off += batch * 4 * w
         bias_b = None
         if has_bias:
             bias_b = jax.lax.bitcast_convert_type(
@@ -317,8 +330,24 @@ class Int8FlatIndex:
 
     # ------------------------------------------------------------- search
 
+    def set_user_table(self, user_masks: np.ndarray) -> None:
+        """Upload the (num_users, W) uint32 role-bitset table ONCE so
+        search_deferred can ship 2-byte user ids instead of 16-byte mask
+        rows (the pass is tunnel-bandwidth-bound; see _scan_pack). Cached
+        by array identity — repeat calls with the same table are free."""
+        import jax
+
+        key = id(user_masks)
+        if getattr(self, "_user_table_key", None) == key:
+            return
+        tbl = np.ascontiguousarray(np.asarray(user_masks, dtype=np.uint32))
+        if tbl.ndim != 2 or tbl.shape[0] > 65536:
+            return  # u16 wire ids can't address this table
+        self._user_table = jax.device_put(tbl)
+        self._user_table_key = key
+
     def search_deferred(self, queries: np.ndarray, query_masks: np.ndarray,
-                        k: int):
+                        k: int, user_ids: Optional[np.ndarray] = None):
         import jax
         import jax.numpy as jnp
 
@@ -333,8 +362,17 @@ class Int8FlatIndex:
         else:
             vq_d, nq_d, r8_d = self._vq, self._nq, self._r8
         qf = np.asarray(queries, dtype=np.float32)
-        masks = np.ascontiguousarray(query_masks, dtype=np.uint32)
         nq = qf.shape[0]
+        # the 2-byte uid wire needs a resident table covering every uid
+        use_table = (user_ids is not None
+                     and getattr(self, "_user_table", None) is not None
+                     and nq > 0
+                     and int(np.max(user_ids)) < self._user_table.shape[0])
+        if use_table:
+            uid16 = np.ascontiguousarray(user_ids, dtype=np.uint16)
+            masks = None
+        else:
+            masks = np.ascontiguousarray(query_masks, dtype=np.uint32)
         # don't pad a small workload up to the full serving batch — but keep
         # a floor of 32 queries: Mosaic can't lower the degenerate (1, d)
         # int8 matmul a batch-1 dispatch would otherwise produce
@@ -343,13 +381,12 @@ class Int8FlatIndex:
         q_tile = min(self.q_tile, bs)
         kernel_metric = "l2" if self.metric == "l2" else "ip"
         if self.metric == "l2":
-            q8, qn = quant.quantize_queries(qf)
+            q8, _ = quant.quantize_queries(qf, with_norms=False)
             inv = jnp.float32(1.0 / quant.scale**2)
             bias = None
         else:
             q8, inv_f, bias = quant.quantize_queries_ip(
                 qf, cosine=self.metric == "cosine")
-            qn = np.zeros(nq, dtype=np.int32)
             inv = jnp.float32(inv_f)
         r_pad = quant.r_pad
         # Mosaic kernels need a TPU; CPU (tests) runs the interpreter
@@ -367,7 +404,7 @@ class Int8FlatIndex:
         # dispatch removes the pass-level unpack round.
         npq = -(-nq // bs) * bs
         d_cols = q8.shape[1]
-        w = masks.shape[1]
+        w = (self._user_table.shape[1] if use_table else masks.shape[1])
         has_bias = bias is not None
         ship_qf = self.rerank and not self.rerank_dequant
 
@@ -380,8 +417,11 @@ class Int8FlatIndex:
             return out
 
         def _batch_buf(s):
-            seg = [_col(q8, d_cols, s), _col(qn, 4, s),
-                   _col(masks, 4 * w, s)]
+            seg = [_col(q8, d_cols, s)]
+            if use_table:
+                seg.append(_col(uid16, 2, s))
+            else:
+                seg.append(_col(masks, 4 * w, s))
             if has_bias:
                 seg.append(_col(bias.astype(np.float32), 4, s))
             if ship_qf:
@@ -419,7 +459,9 @@ class Int8FlatIndex:
                 buf_all, jnp.int32(bi),
                 vq_d, nq_d, r8_d, self._row_map, inv,
                 mirror_vec, mirror_norms, q_dequant, center_d,
-                batch=bs, d=d_cols, w=w, r_pad=r_pad, has_bias=has_bias,
+                self._user_table if use_table else None,
+                batch=bs, d=d_cols, w=w, r_pad=r_pad,
+                use_table=use_table, has_bias=has_bias,
                 dq=qf.shape[1] if ship_qf else 0,
                 k=k, kk=kk, q_tile=q_tile,
                 block_rows=self.block_rows, group=self.group,

@@ -276,6 +276,12 @@ class PartitionedSearcher:
 
             (part,) = self.partitions.values()
             if hasattr(part.index, "search_deferred"):
+                if hasattr(part.index, "set_user_table"):
+                    # resident mask table -> 2-byte uid wire (flat_int8)
+                    part.index.set_user_table(user_masks)
+                    if getattr(part.index, "_user_table", None) is not None:
+                        return part.index.search_deferred(
+                            queries, None, k, user_ids=user_ids)
                 qmasks = query_masks_for(user_masks, user_ids)
                 return part.index.search_deferred(queries, qmasks, k)
         return lambda: self.search_batch(queries, user_ids, user_masks, k)
