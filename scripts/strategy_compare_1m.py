@@ -26,7 +26,10 @@ from vectorsearch_rbac_tpu.utils.config import FrameworkConfig
 
 N = 1_000_000
 TOPK = 10
-NQ = 1024
+NQ = 4096   # 4096 amortizes the tunnel's fixed per-pass costs (the
+           # reference counterpart numbers are per-query latency inverses
+           # with no per-pass fixed term; at 1024 queries ~35 ms of RTT
+           # floors bias every strategy down 15-25%)
 
 corpus, qpool = sift_like_corpus(num_vectors=N, blocks_per_doc=100, seed=0)
 world = TreeRBACGenerator(num_users=10_000, num_roles=100,
@@ -51,7 +54,7 @@ arena = build_device_arena(corpus, world, block_rows=131072, dtype="int8")
 results = {}
 for name in ("rls", "role", "user", "dynamic", "qdtree"):
     cfg = FrameworkConfig(seed=0)
-    cfg.search.batch_size = 4096 if name == "rls" else 1024
+    cfg.search.batch_size = 2048 if name == "rls" else 1024
     cfg.optimizer.storage_alpha = 2.0
     cfg.optimizer.topk = TOPK
     kwargs = {"workload": workload} if name == "qdtree" else {}
@@ -60,7 +63,7 @@ for name in ("rls", "role", "user", "dynamic", "qdtree"):
     build_s = time.perf_counter() - t0
     s.search_batch(queries, user_ids, world.user_masks, TOPK)  # warm
     walls = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         d, i = s.search_batch(queries, user_ids, world.user_masks, TOPK)
         walls.append(time.perf_counter() - t0)

@@ -94,8 +94,13 @@ class TiledSearcher:
         self._big: Dict[int, Int8FlatIndex] = {}
         for pid, rows in sorted(partition_rows.items()):
             if -(-len(rows) // chunk_rows) > big_chunks:
+                # q_tile 1024: at group=32 the (block 8192 x qt) minima
+                # block is (256, qt) i32 — qt 2048 puts the Mosaic scoped-
+                # vmem stack 0.5 MB over its 16 MB budget on ~1M-row big
+                # partitions (first hit when a 4096-query workload raised
+                # the serving batch to 2048)
                 self._big[pid] = Int8FlatIndex(
-                    arena, np.asarray(rows), query_batch=2048,
+                    arena, np.asarray(rows), query_batch=2048, q_tile=1024,
                     block_rows=8192, group=big_group, dist16=False)
 
         # chunk 0 is the dummy all-masked chunk (zero role one-hot rows are
