@@ -31,7 +31,8 @@ from vectorsearch_rbac_tpu.utils.config import FrameworkConfig
 
 N = 1_000_000
 TOPK = 10
-NQ = 1024
+NQ = 4096   # amortizes the tunnel's fixed per-pass costs (see
+           # strategy_compare_1m.py — 1024-query passes bias QPS down)
 
 t0 = time.perf_counter()
 corpus, qpool = sift_like_corpus(num_vectors=N, blocks_per_doc=100, seed=0)
@@ -85,7 +86,7 @@ def measure(searcher, label):
 
 
 out = {"config": "AnonySys alpha=2.0, 1M clustered sift-like, tree RBAC "
-                 "100 roles, top-10, 1024 queries",
+                 "100 roles, top-10, 4096 queries",
        "hardware": "TPU v5e (axon tunnel)"}
 
 # C first (also plans once; reuse the plan for A/B)

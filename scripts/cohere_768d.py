@@ -13,21 +13,24 @@ pgvector <=> operator, /root/reference/pgvector/src/vector.c).
 
 Writes results/cohere_768d_1m_r3.json.
 """
+import gc
 import json
 import time
 
 import numpy as np
 
 from vectorsearch_rbac_tpu.bench import generate_query_workload
-from vectorsearch_rbac_tpu.bench.ground_truth import compute_recall
+from vectorsearch_rbac_tpu.bench.ground_truth import (
+    GroundTruthOracle, compute_recall,
+)
+from vectorsearch_rbac_tpu.bench.queries import QueryWorkload
 from vectorsearch_rbac_tpu.core import build_device_arena
 from vectorsearch_rbac_tpu.data import resolve_dataset
 from vectorsearch_rbac_tpu.index.flat_int8 import Int8FlatIndex
-from vectorsearch_rbac_tpu.bench.ground_truth import GroundTruthOracle
 from vectorsearch_rbac_tpu.rbac.generators import TreeRBACGenerator
 from vectorsearch_rbac_tpu.rbac.world import query_masks_for
 
-N, NQ, K = 1_000_000, 16384, 100
+N, NQ, K, NS = 1_000_000, 16384, 100, 2048
 
 out = {"config": ("cohere/wikipedia-shaped corpus: 1M x 768-d "
                   "unit-normalized, tree RBAC 100 roles, 16384 queries, "
@@ -35,31 +38,33 @@ out = {"config": ("cohere/wikipedia-shaped corpus: 1M x 768-d "
                   "wide kernel, u8 wire, single-upload pass"),
        "hardware": "TPU v5e (axon tunnel)", "legs": {}}
 
-for metric in ("l2", "cosine"):
-    corpus, qpool = resolve_dataset("cohere", num_vectors=N, seed=0)
-    world = TreeRBACGenerator(num_users=10_000, num_roles=100,
-                              num_docs=corpus.num_docs, h=4, b0=3, b1=4,
-                              seed=0).generate()
-    workload = generate_query_workload(corpus, world, num_queries=NQ,
-                                       topk=K, zipf_param=0,
-                                       query_pool=qpool, seed=1)
-    queries = workload.queries.astype(np.float32)
-    qmasks = np.asarray(query_masks_for(world.user_masks, workload.user_ids),
-                        np.uint32)
+corpus, qpool = resolve_dataset("cohere", num_vectors=N, seed=0)
+world = TreeRBACGenerator(num_users=10_000, num_roles=100,
+                          num_docs=corpus.num_docs, h=4, b0=3, b1=4,
+                          seed=0).generate()
+workload = generate_query_workload(corpus, world, num_queries=NQ,
+                                   topk=K, zipf_param=0,
+                                   query_pool=qpool, seed=1)
+queries = workload.vectors.astype(np.float32)
+uids = workload.user_ids
+qmasks = np.asarray(query_masks_for(world.user_masks, uids), np.uint32)
+sample = np.arange(NS)
+wl_s = QueryWorkload(vectors=queries[sample], user_ids=uids[sample],
+                     topk=K, selectivities=workload.selectivities[sample],
+                     repetitions=workload.repetitions[sample])
 
-    # ground truth on a 2048-query sample (f32 oracle arena, then freed)
+for metric in ("l2", "cosine"):
+    # ground truth on the sample (f32 oracle arena, then freed)
     gt_arena = build_device_arena(corpus, world, block_rows=65536,
                                   dtype="float32", with_aug=False,
                                   metric=metric)
     oracle = GroundTruthOracle(gt_arena, cache_dir="artifacts",
                                block_rows=65536, query_batch=1024)
-    sample = np.arange(2048)
     t0 = time.perf_counter()
-    tr_d, tr_i = oracle.truth_for(corpus, world, queries[sample],
-                                  workload.user_ids[sample], K)
+    truth = oracle.compute(corpus, world, wl_s, K)
     print(f"[{metric}] truth {time.perf_counter()-t0:.1f}s", flush=True)
     del oracle, gt_arena
-    import gc; gc.collect()
+    gc.collect()
 
     arena = build_device_arena(corpus, world, block_rows=131072,
                                dtype="int8", metric=metric)
@@ -67,7 +72,7 @@ for metric in ("l2", "cosine"):
                         wire="u8")
     print(f"[{metric}] wide={idx.wide} block_rows={idx.block_rows} "
           f"q_tile={idx.q_tile} rerank={idx.rerank} "
-          f"dequant={idx.rerank_dequant}", flush=True)
+          f"dequant={idx.rerank_dequant} group={idx.group}", flush=True)
     idx.search(queries[:2048], qmasks[:2048], K)   # compile
     idx.search(queries, qmasks, K)                 # warm full
     walls = []
@@ -77,7 +82,7 @@ for metric in ("l2", "cosine"):
         d, i = idx.search(queries, qmasks, K)
         walls.append(time.perf_counter() - t0)
     wall = float(np.median(walls))
-    rec = compute_recall(i[sample], tr_i, K)
+    rec = compute_recall(i[sample], truth)
     leg = {"metric": metric, "recall_at_100": round(float(rec), 4),
            "qps": round(NQ / wall, 1),
            "pass_walls_ms": [round(w * 1000, 1) for w in walls],
