@@ -236,16 +236,25 @@ class PartitionedSearcher:
                 rows = [pos[qi] for qi in qis]
                 out_d[qis] = d[rows]
                 out_i[qis] = i[rows]
+            # multi-partition queries group by their pid TUPLE (queries of
+            # one comb route to the same partitions), so the merge runs
+            # once per tuple over stacked rows instead of once per query —
+            # the per-query Python loop was ~30% of the hybrid dynamic
+            # pass at 4096 queries
+            multi_by_pids: Dict[tuple, List[int]] = {}
             for qi in multi:
+                multi_by_pids.setdefault(
+                    tuple(per_query_pids[qi]), []).append(qi)
+            for pids, qis in multi_by_pids.items():
                 ds, is_ = [], []
-                for pid in per_query_pids[qi]:
+                for pid in pids:
                     d, i, pos = part_results[pid]
-                    j = pos[qi]
-                    ds.append(d[j:j + 1])
-                    is_.append(i[j:j + 1])
+                    rows = [pos[qi] for qi in qis]
+                    ds.append(d[rows])
+                    is_.append(i[rows])
                 md, mi = merge_topk_host(ds, is_, k)
-                out_d[qi] = md[0]
-                out_i[qi] = mi[0]
+                out_d[qis] = md
+                out_i[qis] = mi
         return out_d, out_i
 
     def search_batch_deferred(
