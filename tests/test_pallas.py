@@ -7,8 +7,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from vectorsearch_rbac_tpu.ops.pallas_scan import pallas_masked_topk
-from vectorsearch_rbac_tpu.ops.pallas_scan2 import pallas_masked_topk_v2
+from vectorsearch_rbac_tpu.ops.legacy.pallas_scan import pallas_masked_topk
+from vectorsearch_rbac_tpu.ops.legacy.pallas_scan2 import pallas_masked_topk_v2
 
 
 @pytest.fixture(scope="module")

@@ -93,8 +93,14 @@ def build_dynamic_searcher(
     comb_weights: Optional[Dict[Comb, float]] = None,
     single_role_weights: Optional[Dict[int, float]] = None,
     packed: bool = True,
+    graph_states: Optional[Dict[int, dict]] = None,
 ) -> PartitionedSearcher:
-    """Build the AnonySys strategy searcher; plans first if no plan given."""
+    """Build the AnonySys strategy searcher; plans first if no plan given.
+
+    graph_states: optional {pid: HNSWIndex.graph_state()} map — partitions
+    found here skip graph construction and resume from the persisted graph
+    (the reference's per-partition .faiss index files reloaded by
+    load_result_to_database.py; pair with utils.persist.save_npz)."""
     if plan is None:
         if inputs is None:
             inputs = PlannerInputs(
@@ -207,9 +213,24 @@ def build_dynamic_searcher(
             return cfg
         return cfg_graph if pid in graph_pids else cfg_flat
 
+    def _mk_index(pid: int, rows: np.ndarray):
+        c = _pid_cfg(pid)
+        if (graph_states is not None and pid in graph_states
+                and c.index.kind == "hnsw"):
+            from ...index.hnsw import HNSWIndex
+            return HNSWIndex(
+                arena, rows,
+                m=c.index.hnsw_m,
+                ef_search=c.search.ef_search,
+                query_batch=c.search.batch_size,
+                graph_state=graph_states[pid],
+                logical=c.index.hnsw_logical,
+            )
+        return make_partition_index(arena, rows, c)
+
     partitions: Dict[int, BuiltPartition] = {
         pid: BuiltPartition(pid=pid, rows=rows,
-                            index=make_partition_index(arena, rows, _pid_cfg(pid)),
+                            index=_mk_index(pid, rows),
                             label=f"dynamic_{pid}")
         for pid, rows in partition_rows.items()
     }

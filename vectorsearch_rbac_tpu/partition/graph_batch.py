@@ -49,6 +49,11 @@ class GraphProbeBatcher:
         self.arena = arena
         self.pids = set(hnsw_parts)
         self.metric = arena.metric
+        # debug_timing=True: block after each dispatch and record per-group
+        # walls in self.last_stats (serving keeps it False — blocking
+        # serializes the enqueue pipeline)
+        self.debug_timing = False
+        self.last_stats: List[dict] = []
         # class key = (n_class, m0); HNSW graphs are already pow2-padded
         by_class: Dict[Tuple[int, int], List[int]] = {}
         graphs_np: Dict[int, np.ndarray] = {}
@@ -109,6 +114,9 @@ class GraphProbeBatcher:
                    bool(kw.get("harvest_2hop", False)))
             groups.setdefault(key, []).append(j)
 
+        import time as _time
+
+        self.last_stats = []
         pending = []
         for (shape, ef, ms, harv), job_ids in sorted(groups.items()):
             g3, rm2 = self.slabs[shape]
@@ -135,6 +143,7 @@ class GraphProbeBatcher:
             qchunk = _pow2(min(max(_VISITED_BUDGET // max(n_class, 1), 32),
                                4096))
             chunk_res: List[Tuple[np.ndarray, np.ndarray]] = []
+            t_grp = _time.perf_counter()
             for s in range(0, len(qarr), qchunk):
                 e = min(s + qchunk, len(qarr))
                 bs = qchunk if len(qarr) > qchunk else _pow2(e - s)
@@ -152,7 +161,18 @@ class GraphProbeBatcher:
                     jnp.asarray(eb), kk, ef_eff, ms, harv,
                     row_map=rm2, metric=self.metric, pids=jnp.asarray(pb),
                 )
+                if self.debug_timing:
+                    jax.block_until_ready((d, i))
                 chunk_res.append((s, e, d, i))
+            if self.debug_timing:
+                self.last_stats.append({
+                    "n_class": n_class, "ef": ef, "max_steps": ms,
+                    "harvest": harv, "jobs": len(job_ids),
+                    "queries": len(qarr), "qchunk": qchunk,
+                    "dispatches": -(-len(qarr) // qchunk),
+                    "wall_ms": round(
+                        (_time.perf_counter() - t_grp) * 1000, 1),
+                })
             pending.append((shape, spans, qarr, parr, chunk_res))
 
         # drain: local ids -> arena rows, host dedupe to k, scatter to jobs
