@@ -109,7 +109,8 @@ def test_wide_d_adversarial_no_overflow(int_world):
     """d=768 adversarial corpus: with the full [-128,127] span the packed
     (score << 7 | lane) epilogue would overflow int32 (worst case
     3*768*127^2 = 3.7e7 >> 2^23) and far rows would win the min-reduce.
-    quantize_corpus must clamp the span so the bound holds, and the kernel
+    The kernels apply the static score_shift (core.score_shift_for) so the
+    bound holds at FULL int8 resolution, and the shifted kernel
     (interpret) must agree with the unpacked reference twin."""
     import jax.numpy as jnp
 
@@ -131,8 +132,9 @@ def test_wide_d_adversarial_no_overflow(int_world):
                               seed=5).generate()
     arena = build_device_arena(corpus, world, block_rows=256, dtype="int8")
     q = arena.quant
-    assert 3 * q.d_pad * q.qclip**2 < 2**23
-    assert not q.lossless  # coarser span -> rerank auto-on
+    assert q.qclip == 127 and q.score_shift > 0   # full resolution + shift
+    assert (3 * q.d_pad * q.qclip**2) >> q.score_shift < 2**23
+    assert not q.lossless  # lossy quantization -> rerank auto-on
 
     nq, k = 8, 5
     qf = rng.choice(np.array([-1000.0, 1000.0], np.float32), (nq, d))
@@ -144,7 +146,7 @@ def test_wide_d_adversarial_no_overflow(int_world):
     dk, ik = int8_masked_topk(
         jnp.asarray(qq), jnp.asarray(qn), q.vectors_q, q.norms_q, q.roles8,
         jnp.asarray(m8), inv, k, q_tile=8, block_rows=256, group=8,
-        interpret=True)
+        interpret=True, score_shift=q.score_shift)
     dr, ir = int8_masked_topk_reference(
         jnp.asarray(qq), jnp.asarray(qn), q.vectors_q, q.norms_q, q.roles8,
         jnp.asarray(m8), inv, k)

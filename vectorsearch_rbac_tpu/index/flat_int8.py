@@ -74,12 +74,14 @@ def _lazy_jits():
                          "has_bias", "dq",
                          "k", "kk", "q_tile", "block_rows", "group",
                          "merge", "interpret", "metric", "kernel_metric",
-                         "wide", "id_bits", "wire", "rerank"))
+                         "wide", "id_bits", "wire", "rerank",
+                         "score_shift"))
     def _scan_pack(buf_all, bidx, vq, nq_, r8, row_map, inv, mirror_vec,
                    mirror_norms, q_dequant, center, user_table,
                    batch, d, w, r_pad, use_table, has_bias, dq, k, kk,
                    q_tile, block_rows, group, merge, interpret, metric,
-                   kernel_metric, wide, id_bits, wire, rerank):
+                   kernel_metric, wide, id_bits, wire, rerank,
+                   score_shift=0):
         """ONE dispatch per batch: slice this batch's packed uint8 row out
         of the pass buffer (int8 queries + uint16 user ids OR uint32 mask
         bitsets [+ bias] [+ f32 queries]), unpack, run the fused kernel,
@@ -129,6 +131,7 @@ def _lazy_jits():
             q8b, qnb, vq, nq_, r8, m8b, inv, kk,
             q_tile=q_tile, block_rows=block_rows, group=group, merge=merge,
             interpret=interpret, metric=kernel_metric, query_bias=bias_b,
+            score_shift=score_shift,
         )
         if rerank:   # rerank tier
             if qf_b is not None:
@@ -224,13 +227,12 @@ class Int8FlatIndex:
         )
         q = arena.quant
         self.metric = arena.metric
-        # packed-epilogue invariant (score << 7 | lane needs |score| < 2^23);
-        # quantize_corpus clamps the span so this holds for any d, but guard
-        # against hand-built ArenaQuant instances that skip the clamp
-        assert 3 * q.vectors_q.shape[1] * q.qclip**2 < 2**23, (
-            f"int8 span {q.qclip} too wide for d_pad={q.vectors_q.shape[1]}: "
-            "packed group-min epilogue would overflow int32"
-        )
+        # packed-epilogue invariant (score << 7 | lane needs |score| < 2^23):
+        # the kernels right-shift scores by q.score_shift first, which
+        # makes the bound hold at full int8 resolution for any width
+        self.score_shift = q.score_shift
+        assert (3 * q.vectors_q.shape[1] * q.qclip**2) >> self.score_shift \
+            < 2**23, (q.qclip, q.vectors_q.shape[1], self.score_shift)
         self._arena = arena
         self.query_batch = query_batch
         self.q_tile = min(q_tile, query_batch)
@@ -468,6 +470,7 @@ class Int8FlatIndex:
                 merge=self.merge, interpret=interp, metric=self.metric,
                 kernel_metric=kernel_metric, wide=self.wide,
                 id_bits=self._id_bits, wire=wire_fmt, rerank=self.rerank,
+                score_shift=self.score_shift,
             )
             fut = pool.submit(np.asarray, wire) if pool is not None else wire
             pending.append((s, min(s + bs, nq), fut))

@@ -348,6 +348,14 @@ def graph_beam_search_iterative(
                              # hybrid-dynamic strategy's 100+ per-(comb,
                              # partition) probe groups collapse into one
                              # dispatch per (graph class, ef bucket).
+    step_budget: jax.Array = None,  # (Q,) int32 — per-QUERY expansion caps
+                             # (traced, so probe groups that differ only in
+                             # max_steps share one dispatch AND one
+                             # compile; max_steps stays the static loop
+                             # bound = max over the batch). A query whose
+                             # budget is exhausted terminates exactly as if
+                             # it ran in its own dispatch with
+                             # max_steps=budget.
 ) -> Tuple[jax.Array, jax.Array]:
     """Iterative-rescan filtered beam search — the batched analog of
     pgvector's `hnsw.iterative_scan` (reference pgvector/src/hnsw.c:90,
@@ -432,23 +440,37 @@ def graph_beam_search_iterative(
     # exploration)
     w_d = jnp.concatenate([entry_d, jnp.full((nq, ef - 1), INF)], axis=1)
 
-    visited = jnp.zeros((nq, npad), dtype=bool)
-    visited = visited.at[rows, jnp.maximum(entries, 0)].set(True)
+    # visited set as a PACKED bitmap ((Q, npad/32) uint32 + one sacrificial
+    # word for -1 pads) — 8x smaller than the bool array it replaces, which
+    # directly scales the per-dispatch query chunk the batcher can afford
+    # (partition/graph_batch._VISITED_BUDGET is counted in bits). Bits are
+    # set via scatter-ADD, which is exact here: one node expands per query
+    # per step, its neighbor list has no duplicate ids, and already-visited
+    # neighbors are masked out before marking, so every (word, bit) pair is
+    # added at most once per step.
+    nwords = (npad + 31) // 32 + 1
+    safe_e = jnp.maximum(entries, 0)
+    visited = jnp.zeros((nq, nwords), dtype=jnp.uint32)
+    visited = visited.at[rows, safe_e >> 5].set(
+        jnp.uint32(1) << (safe_e & 31).astype(jnp.uint32))
 
-    def _done(beam_d, res_d, w_d):
+    def _done(t, beam_d, res_d, w_d):
         fmin = jnp.min(beam_d, axis=1)
         res_full = jnp.isfinite(res_d[:, -1])
-        return ~jnp.isfinite(fmin) | ((fmin >= w_d[:, -1]) & res_full)
+        done = ~jnp.isfinite(fmin) | ((fmin >= w_d[:, -1]) & res_full)
+        if step_budget is not None:
+            done = done | (t >= step_budget)
+        return done
 
     def cond(state):
         t, beam_ids, beam_d, res_ids, res_d, w_d, visited = state
-        return (t < max_steps) & ~jnp.all(_done(beam_d, res_d, w_d))
+        return (t < max_steps) & ~jnp.all(_done(t, beam_d, res_d, w_d))
 
     def body(state):
         t, beam_ids, beam_d, res_ids, res_d, w_d, visited = state
         sel = jnp.argmin(beam_d, axis=1)
         fmin = beam_d[rows, sel]
-        active = jnp.isfinite(fmin) & ~_done(beam_d, res_d, w_d)
+        active = jnp.isfinite(fmin) & ~_done(t, beam_d, res_d, w_d)
         node = jnp.where(active, beam_ids[rows, sel], -1)
         # pop the expanded node from the queue
         beam_d = beam_d.at[rows, sel].set(INF)
@@ -456,11 +478,13 @@ def graph_beam_search_iterative(
 
         nb = _neighbors(node)                                    # (Q, M0)
         nb = jnp.where((node >= 0)[:, None], nb, -1)
-        seen = jnp.take_along_axis(visited, jnp.maximum(nb, 0), axis=1)
+        nw = jnp.where(nb >= 0, nb >> 5, nwords - 1)             # word idx
+        nbit = (jnp.maximum(nb, 0) & 31).astype(jnp.uint32)
+        words = jnp.take_along_axis(visited, nw, axis=1)
+        seen = ((words >> nbit) & 1).astype(bool)
         nb = jnp.where(seen, -1, nb)
-        visited = visited.at[rows[:, None], jnp.maximum(nb, 0)].set(
-            jnp.where(nb >= 0, True,
-                      visited[rows[:, None], jnp.maximum(nb, 0)]))
+        visited = visited.at[rows[:, None], nw].add(
+            jnp.where(nb >= 0, jnp.uint32(1) << nbit, jnp.uint32(0)))
         nd = dist_to(nb)
 
         # queue merge: keep the ef nearest unexpanded candidates
@@ -538,9 +562,9 @@ def graph_beam_search_iterative(
 def graph_search_iterative_fn(queries, vectors, norms, role_bits, graph,
                               query_masks, entries, k, ef, max_steps,
                               harvest_2hop=False, row_map=None, metric="l2",
-                              pids=None):
+                              pids=None, step_budget=None):
     return graph_beam_search_iterative(
         queries, vectors, norms, role_bits, graph, query_masks, entries,
         k=k, ef=ef, max_steps=max_steps, harvest_2hop=harvest_2hop,
-        row_map=row_map, metric=metric, pids=pids,
+        row_map=row_map, metric=metric, pids=pids, step_budget=step_budget,
     )

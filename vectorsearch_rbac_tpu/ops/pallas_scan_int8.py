@@ -37,7 +37,8 @@ MASKED_I32 = 0x7F000000  # > any packed score (|score| << 7 < 2^30)
 EMPTY_I32 = 0x7E000000
 
 
-def _make_kernel(chunk: int, group: int, metric: str = "l2"):
+def _make_kernel(chunk: int, group: int, metric: str = "l2",
+                 score_shift: int = 0):
     def _kernel(q_ref, x_ref, n_ref, r_ref, m_ref, out_ref):
         # q: (TQ, d) int8; x: (B, d) int8; n: (1, B) int32;
         # r: (B, R) int8 role one-hot; m: (TQ, R) int8 user one-hot;
@@ -67,6 +68,10 @@ def _make_kernel(chunk: int, group: int, metric: str = "l2"):
                 score = n_ref[0, pl.ds(row0, chunk)][:, None] - 2 * dots
             else:
                 score = -dots
+            if score_shift:
+                # wide-d: drop LSBs instead of clamping the quantization
+                # span (core.score_shift_for) — keeps |packed| < 2^30
+                score = jax.lax.shift_right_arithmetic(score, score_shift)
             # fused RBAC check on the MXU: shared-role count
             admit = jax.lax.dot_general(
                 r, m,
@@ -92,7 +97,7 @@ def _make_kernel(chunk: int, group: int, metric: str = "l2"):
 
 @functools.partial(
     jax.jit, static_argnames=("k", "q_tile", "block_rows", "group",
-                              "merge", "interpret", "metric")
+                              "merge", "interpret", "metric", "score_shift")
 )
 def int8_masked_topk(
     queries_q: jax.Array,    # (Q, d_pad) int8 quantized queries
@@ -117,6 +122,9 @@ def int8_masked_topk(
     query_bias: jax.Array = None,  # (Q,) float32 additive distance
                                    # correction (ip: -q.center to undo the
                                    # corpus centering; cosine: 1 - q.center)
+    score_shift: int = 0,    # static score >> shift before the << 7 pack
+                             # (core.score_shift_for: full int8 resolution
+                             # at wide d; 0 for d_pad <= 256)
 ) -> Tuple[jax.Array, jax.Array]:
     """Return (dists (Q, k) float32 ascending in the metric's distance,
     idx (Q, k) int32 arena rows; -1 / +inf on empty slots)."""
@@ -133,7 +141,7 @@ def int8_masked_topk(
     r_pad = roles8.shape[1]
 
     packed = pl.pallas_call(
-        _make_kernel(chunk, group, metric),
+        _make_kernel(chunk, group, metric, score_shift),
         grid=grid,
         in_specs=[
             pl.BlockSpec((q_tile, d), lambda i, j: (i, 0),
@@ -159,11 +167,12 @@ def int8_masked_topk(
         # raw (n_groups, Q) packed minima — for stage profiling only
         return packed, packed
     return _merge_group_minima(packed, query_norms, inv_scale_sq, k,
-                               group, merge, metric, query_bias)
+                               group, merge, metric, query_bias,
+                               score_shift)
 
 
 def _merge_group_minima(packed, query_norms, inv_scale_sq, k, group, merge,
-                        metric, query_bias):
+                        metric, query_bias, score_shift=0):
     """Shared epilogue: (n_groups, Q) packed (score << 7 | lane) minima ->
     (dists (Q, k), idx (Q, k))."""
     n_groups = packed.shape[0]
@@ -210,6 +219,8 @@ def _merge_group_minima(packed, query_norms, inv_scale_sq, k, group, merge,
     lane = vals & LANE_MASK
     idx = pos * group + lane
     score = jax.lax.shift_right_arithmetic(vals, 7)      # int32 scaled score
+    if score_shift:
+        score = jax.lax.shift_left(score, score_shift)   # restore magnitude
 
     empty = vals >= EMPTY_I32
     if metric == "l2":
@@ -224,7 +235,8 @@ def _merge_group_minima(packed, query_norms, inv_scale_sq, k, group, merge,
     return dists, idx
 
 
-def _make_wide_kernel(group: int, nk: int, metric: str):
+def _make_wide_kernel(group: int, nk: int, metric: str,
+                      score_shift: int = 0):
     """d-split variant: the reduction dimension joins the grid and partial
     dots accumulate in a VMEM scratch, so wide corpora (768-d cohere
     shapes) keep FULL row/query tiles instead of shrinking them ~8x to fit
@@ -255,6 +267,8 @@ def _make_wide_kernel(group: int, nk: int, metric: str):
                 score = n_ref[0, :][:, None] - 2 * acc_ref[:]
             else:
                 score = -acc_ref[:]
+            if score_shift:
+                score = jax.lax.shift_right_arithmetic(score, score_shift)
             admit = jax.lax.dot_general(
                 r_ref[:], m_ref[:],
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -274,7 +288,8 @@ def _make_wide_kernel(group: int, nk: int, metric: str):
 
 @functools.partial(
     jax.jit, static_argnames=("k", "q_tile", "block_rows", "group",
-                              "d_chunk", "merge", "interpret", "metric")
+                              "d_chunk", "merge", "interpret", "metric",
+                              "score_shift")
 )
 def int8_masked_topk_wide(
     queries_q: jax.Array,    # (Q, d_pad) int8
@@ -293,6 +308,7 @@ def int8_masked_topk_wide(
     interpret: bool = False,
     metric: str = "l2",
     query_bias: jax.Array = None,
+    score_shift: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Wide-d form of int8_masked_topk (same contract): the d dimension is
     a third grid axis with VMEM-scratch accumulation, so 768-d runs at full
@@ -314,7 +330,7 @@ def int8_masked_topk_wide(
     norms2d = norms_q.reshape(1, npad)
 
     packed = pl.pallas_call(
-        _make_wide_kernel(group, nk, metric),
+        _make_wide_kernel(group, nk, metric, score_shift),
         grid=grid,
         in_specs=[
             pl.BlockSpec((q_tile, d_chunk), lambda i, j, kd: (i, kd),
@@ -338,7 +354,8 @@ def int8_masked_topk_wide(
     )(queries_q, vectors_q, norms2d, roles8, masks8)
 
     return _merge_group_minima(packed, query_norms, inv_scale_sq, k,
-                               group, merge, metric, query_bias)
+                               group, merge, metric, query_bias,
+                               score_shift)
 
 
 @functools.partial(jax.jit, static_argnames=("r_pad",))

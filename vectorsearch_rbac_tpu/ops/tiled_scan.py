@@ -40,6 +40,9 @@ def tiled_scan_core(
     row_chunks: jax.Array,   # (LC, chunk_rows) int32 arena rows, -1 = pad
     k: int,
     chunks: int,
+    score_shift: int = 0,    # static score >> shift before any pack
+                             # (core.score_shift_for — wide-d corpora at
+                             # full int8 resolution)
     scan_group: int = 0,     # 0 = exact per-chunk top-k; g > 0 = packed
                              # group-min epilogue (the flagship kernel's
                              # trick): per chunk keep one packed
@@ -59,7 +62,7 @@ def tiled_scan_core(
     if scan_group and scan_group < chunk_rows:
         return _tiled_scan_grouped(
             q3, m3, chunk_ids, vec_chunks, norm_chunks, role_chunks,
-            row_chunks, k, chunks, scan_group)
+            row_chunks, k, chunks, scan_group, score_shift)
     kk = min(k, chunk_rows)
 
     def step(_, c):
@@ -97,7 +100,7 @@ def tiled_scan_core(
 
 def _tiled_scan_grouped(
     q3, m3, chunk_ids, vec_chunks, norm_chunks, role_chunks, row_chunks,
-    k: int, chunks: int, g: int,
+    k: int, chunks: int, g: int, score_shift: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Grouped-epilogue variant of tiled_scan_core (see scan_group above).
 
@@ -125,6 +128,8 @@ def _tiled_scan_grouped(
         admit = jnp.einsum("sqr,scr->sqc", m3, r8,
                            preferred_element_type=jnp.int32)
         score = nrm[:, None, :] - 2 * dots             # (S, Q, C) int32
+        if score_shift:
+            score = jax.lax.shift_right_arithmetic(score, score_shift)
         s4 = score.reshape(s, q_tile, gpc, g)
         a4 = admit.reshape(s, q_tile, gpc, g)
         packed = jnp.where(
@@ -147,6 +152,8 @@ def _tiled_scan_grouped(
     grp = pos % gpc                                    # group within chunk
     in_lane = vals & (g - 1)
     top = jax.lax.shift_right_arithmetic(vals, shift)  # true int32 score
+    if score_shift:
+        top = jax.lax.shift_left(top, score_shift)     # restore magnitude
     top = jnp.where(vals >= masked, BIG_I32, top)
     cids = jnp.take_along_axis(
         jnp.broadcast_to(chunk_ids[:, None, :], (s, q_tile, chunks)),
@@ -168,7 +175,8 @@ def finish_scores(top: jax.Array, idx: jax.Array, query_norms: jax.Array,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "chunks", "q_tile", "scan_group"))
+                   static_argnames=("k", "chunks", "q_tile", "scan_group",
+                                    "score_shift"))
 def tiled_bucket_topk(
     queries_q: jax.Array,    # (S * q_tile, d) int8 — queries grouped by slot
     query_norms: jax.Array,  # (S * q_tile,) int32
@@ -183,6 +191,7 @@ def tiled_bucket_topk(
     chunks: int,
     q_tile: int,
     scan_group: int = 0,
+    score_shift: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Return (dists (S*q_tile, k) float32 ascending, arena rows (S*q_tile,
     k) int32; +inf/-1 pads). Each slot s scans chunks chunk_ids[s, :]."""
@@ -191,7 +200,7 @@ def tiled_bucket_topk(
     top, idx = tiled_scan_core(
         queries_q.reshape(s, q_tile, d), masks8.reshape(s, q_tile, -1),
         chunk_ids, vec_chunks, norm_chunks, role_chunks, row_chunks,
-        k=k, chunks=chunks, scan_group=scan_group,
+        k=k, chunks=chunks, scan_group=scan_group, score_shift=score_shift,
     )
     dists, idx = finish_scores(top.reshape(sq, k), idx.reshape(sq, k),
                                query_norms, inv_scale_sq)

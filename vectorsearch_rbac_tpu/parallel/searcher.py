@@ -124,6 +124,7 @@ class ShardedGlobalSearcher:
                 jnp.asarray(m8), jnp.float32(1.0 / quant.scale**2), k,
                 q_tile=q_tile, block_rows=min(self.block_rows, 4096),
                 group=self._int8_group(), interpret=interp,
+                score_shift=quant.score_shift,
             )
             return np.asarray(d)[:nq], np.asarray(i)[:nq].astype(np.int64)
         # pad query count to a replica multiple

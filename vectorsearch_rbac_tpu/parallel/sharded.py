@@ -124,6 +124,7 @@ def sharded_int8_topk(
     group: int = 128,
     merge: str = "auto",
     interpret: bool = False,
+    score_shift: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """The FLAGSHIP int8 fused kernel over a mesh: each chip runs the
     Pallas scan (MXU int8 distances + int8 role-matmul admissibility,
@@ -146,6 +147,7 @@ def sharded_int8_topk(
             q8, qn, v, nrm, r8, m8, inv_scale_sq, k,
             q_tile=min(q_tile, q8.shape[0]), block_rows=block_rows,
             group=group, merge=merge, interpret=interpret,
+            score_shift=score_shift,
         )
         shard = jax.lax.axis_index(SHARD_AXIS)
         i = jnp.where(i >= 0, i + shard * local_n, -1)

@@ -182,6 +182,7 @@ class ShardedTiledSearcher:
                 q8b[0].reshape(s, qt, d), m8b[0].reshape(s, qt, -1),
                 cid[0], vecC[0], normC[0], roleC[0], rowC[0],
                 k=k, chunks=cb, scan_group=self.scan_group,
+                score_shift=self._quant.score_shift,
             )
             return top[None], idx[None]
 

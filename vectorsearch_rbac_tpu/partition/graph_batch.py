@@ -31,8 +31,10 @@ from ..utils.logger import get_logger
 
 logger = get_logger("partition.graph_batch")
 
-# visited-bitmap budget per dispatch: q_chunk * n_class bools
-_VISITED_BUDGET = 1 << 26
+# visited-bitmap budget per dispatch, in BITS: the iterative search packs
+# visited as (q_chunk, n_class/32) uint32 words, so 2^29 bits = 64 MB of
+# device scratch — large classes (n_class 128k) still get 4096-query chunks
+_VISITED_BUDGET = 1 << 29
 
 
 def _pow2(n: int) -> int:
@@ -71,6 +73,31 @@ class GraphProbeBatcher:
             self.entry_of[pid] = int(idx.entry)
             by_class.setdefault(g.shape, []).append(pid)
 
+        # ONE slab: pad every graph to the largest (n_class, M0) so the
+        # whole strategy's probe jobs share a single dispatch per (ef,
+        # harvest) group. Per-step device work is per-QUERY (neighbor
+        # gathers, beam top-ks) and does not grow with the pad, and the
+        # iterative search's per-query termination makes small-partition
+        # queries finish exactly as early as they did in their own class —
+        # but the 2-3 per-class dispatches the round-3 profile measured
+        # (65+232+407 ms, serialized on device) collapse into the largest
+        # one. Memory: P * n_max * (M0_max + 1) int32 (~320 MB at 40 x
+        # 65536 x 33) — graph bytes, no vector duplication.
+        if len(by_class) > 1:
+            n_max = max(s[0] for s in by_class)
+            m_max = max(s[1] for s in by_class)
+            for pid in list(graphs_np):
+                g = graphs_np[pid]
+                if g.shape != (n_max, m_max):
+                    gp = np.full((n_max, m_max), -1, np.int32)
+                    gp[: g.shape[0], : g.shape[1]] = g
+                    graphs_np[pid] = gp
+                    rm = rowmaps_np[pid]
+                    rmp = np.full(n_max, -1, np.int32)
+                    rmp[: len(rm)] = rm
+                    rowmaps_np[pid] = rmp
+            by_class = {(n_max, m_max): sorted(graphs_np)}
+
         # one stacked slab per class
         self.class_of: Dict[int, Tuple[int, int]] = {}
         self.slot_of: Dict[int, int] = {}
@@ -107,10 +134,13 @@ class GraphProbeBatcher:
         from ..ops.graph_search import graph_search_iterative_fn
 
         out: List[Optional[Tuple[np.ndarray, np.ndarray]]] = [None] * len(jobs)
+        # group key: (class, ef, harvest). max_steps is NOT a key — it
+        # rides as a traced per-query budget (ops/graph_search step_budget),
+        # so all of a class's ms buckets share one dispatch and one compile
+        # (the static loop bound is the pow2 max budget in the group).
         groups: Dict[tuple, List[int]] = {}
         for j, (pid, _, kw) in enumerate(jobs):
             key = (self.class_of[pid], int(kw.get("ef_search", 64)),
-                   int(kw.get("max_steps", 256)),
                    bool(kw.get("harvest_2hop", False)))
             groups.setdefault(key, []).append(j)
 
@@ -118,25 +148,30 @@ class GraphProbeBatcher:
 
         self.last_stats = []
         pending = []
-        for (shape, ef, ms, harv), job_ids in sorted(groups.items()):
+        for (shape, ef, harv), job_ids in sorted(groups.items()):
             g3, rm2 = self.slabs[shape]
             n_class = shape[0]
             # flatten all member jobs' queries into one stream
             qis: List[int] = []
             pvec: List[int] = []
             evec: List[int] = []
+            bvec: List[int] = []
             spans: List[Tuple[int, int, int]] = []  # (job, start, len)
             for j in job_ids:
                 pid, qsub, kw = jobs[j]
                 slot = self.slot_of[pid]
                 ent = int(kw.get("entry_local", self.entry_of[pid]))
+                ms = int(kw.get("max_steps", 256))
                 spans.append((j, len(qis), len(qsub)))
                 qis.extend(qsub)
                 pvec.extend([slot] * len(qsub))
                 evec.extend([ent] * len(qsub))
+                bvec.extend([ms] * len(qsub))
             qarr = np.asarray(qis, dtype=np.int64)
             parr = np.asarray(pvec, dtype=np.int32)
             earr = np.asarray(evec, dtype=np.int32)
+            barr = np.asarray(bvec, dtype=np.int32)
+            ms_bound = _pow2(int(barr.max()))
 
             ef_eff = max(ef, k + 1)
             kk = min(k + 8, ef_eff)
@@ -151,22 +186,25 @@ class GraphProbeBatcher:
                 mb = np.zeros((bs, qmasks.shape[1]), np.uint32)
                 pb = np.zeros(bs, np.int32)
                 eb = np.zeros(bs, np.int32)
+                bb = np.zeros(bs, np.int32)
                 qb[: e - s] = queries[qarr[s:e]]
                 mb[: e - s] = qmasks[qarr[s:e]]
                 pb[: e - s] = parr[s:e]
                 eb[: e - s] = earr[s:e]
+                bb[: e - s] = barr[s:e]
                 d, i = graph_search_iterative_fn(
                     jnp.asarray(qb), self.arena.vectors, self.arena.norms,
                     self.arena.role_bits, g3, jnp.asarray(mb),
-                    jnp.asarray(eb), kk, ef_eff, ms, harv,
+                    jnp.asarray(eb), kk, ef_eff, ms_bound, harv,
                     row_map=rm2, metric=self.metric, pids=jnp.asarray(pb),
+                    step_budget=jnp.asarray(bb),
                 )
                 if self.debug_timing:
                     jax.block_until_ready((d, i))
                 chunk_res.append((s, e, d, i))
             if self.debug_timing:
                 self.last_stats.append({
-                    "n_class": n_class, "ef": ef, "max_steps": ms,
+                    "n_class": n_class, "ef": ef, "ms_bound": ms_bound,
                     "harvest": harv, "jobs": len(job_ids),
                     "queries": len(qarr), "qchunk": qchunk,
                     "dispatches": -(-len(qarr) // qchunk),

@@ -280,6 +280,7 @@ class TiledSearcher:
                             self._roleC, self._rowC,
                             jnp.float32(1.0 / q.scale**2), k, cb, qt,
                             scan_group=scan_group,
+                            score_shift=q.score_shift,
                         )
                         wire = pack_results_device(d, i, id_bits=id_bits,
                                                    dist16=False)
