@@ -11,8 +11,12 @@ stripped-down while_loop variants on the real chip to attribute the cost:
   notopk     scatter kept, beam/window/result top_ks replaced with min
   gatheronly gathers + distance einsum only
 
+All device arrays are passed as jit ARGUMENTS (closed-over jnp arrays
+become compile-payload constants — a 0.5 GB vec table 413s the tunnel).
+
 Writes per-variant ms/step to stdout (no artifact — a design probe).
 """
+import functools
 import time
 
 import jax
@@ -31,12 +35,12 @@ row_map = jnp.asarray(rng.integers(0, 1 << 20, (P, NPAD), dtype=np.int32))
 q = jnp.asarray(rng.standard_normal((Q, D)).astype(np.float32))
 masks = jnp.asarray(rng.integers(0, 2**32, (Q, 4), dtype=np.uint32))
 pids = jnp.asarray(rng.integers(0, P, Q, dtype=np.int32))
-rows = jnp.arange(Q)
 
 
 def make(variant):
-    @jax.jit
-    def run(q, pids):
+    @functools.partial(jax.jit, static_argnames=("variant",))
+    def run(q, pids, vec, norms, bits, graph, row_map, masks, *, variant):
+        rows = jnp.arange(Q)
         nwords = NPAD // 32 + 1
         visited = jnp.zeros((Q, nwords), jnp.uint32)
         beam_ids = jnp.zeros((Q, EF), jnp.int32)
@@ -85,17 +89,17 @@ def make(variant):
         st = jax.lax.fori_loop(0, STEPS, body, st)
         return st[2]
 
-    return run
+    return functools.partial(run, variant=variant)
 
 
 for variant in ("full", "noscatter", "notopk", "gatheronly"):
     fn = make(variant)
-    r = fn(q, pids)
+    r = fn(q, pids, vec, norms, bits, graph, row_map, masks)
     np.asarray(r)  # compile+run
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
-        r = fn(q, pids)
+        r = fn(q, pids, vec, norms, bits, graph, row_map, masks)
     np.asarray(r)
     dt = (time.perf_counter() - t0) / reps
     print(f"{variant:>10}: {dt*1000:7.1f} ms total, "

@@ -375,8 +375,19 @@ def graph_beam_search_iterative(
       low-selectivity queries keep expanding past standard termination
       until k admissible rows are found, up to max_steps — that
       continuation is exactly pgvector's hnsw.iterative_scan;
-    - EXACT visited set as a (Q, n_pad) bitmap (the round-1 beam+history
-      membership check was approximate and re-expanded nodes);
+    - dedup by BEAM+HISTORY broadcast compare: a new neighbor is dropped
+      if it sits in the current beam (unexpanded candidates) or in the
+      expansion history (width = the static step bound, so an expanded
+      node can NEVER be re-expanded — unlike the round-1 approximate
+      check whose fixed ef-wide history overflowed). A node evicted from
+      the beam unexpanded may be re-enqueued (and re-enter the result
+      list; the host merge's k-margin dedupes ids), which spends beam
+      slots but no expansion budget. This replaced an exact packed
+      visited bitmap ((Q, n_pad/32) uint32 scatter-add): the bitmap's
+      take_along_axis + scatter was the single largest step cost on TPU
+      (2.06 of 5.30 ms/step at Q=2048, measured scripts/dedup_probe.py;
+      compares are pure elementwise VPU work, 1.5x faster end-to-end)
+      and its scratch was n_pad-sized while history is max_steps-sized;
     - per-query entry points (callers pass the admissible node nearest the
       partition medoid per comb — starting inside the admissible region).
     """
@@ -385,9 +396,6 @@ def graph_beam_search_iterative(
         q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-30)
     nq, d = q.shape
     multi = pids is not None
-    npad = graph.shape[1] if multi else graph.shape[0]
-    # npad is the LOCAL node count (vectors may be the shared arena in
-    # no-copy mode — the visited bitmap must stay graph-sized)
     m0 = graph.shape[-1]
     qn = jnp.sum(q * q, axis=1, keepdims=True)
     compute_dtype = vectors.dtype
@@ -440,19 +448,9 @@ def graph_beam_search_iterative(
     # exploration)
     w_d = jnp.concatenate([entry_d, jnp.full((nq, ef - 1), INF)], axis=1)
 
-    # visited set as a PACKED bitmap ((Q, npad/32) uint32 + one sacrificial
-    # word for -1 pads) — 8x smaller than the bool array it replaces, which
-    # directly scales the per-dispatch query chunk the batcher can afford
-    # (partition/graph_batch._VISITED_BUDGET is counted in bits). Bits are
-    # set via scatter-ADD, which is exact here: one node expands per query
-    # per step, its neighbor list has no duplicate ids, and already-visited
-    # neighbors are masked out before marking, so every (word, bit) pair is
-    # added at most once per step.
-    nwords = (npad + 31) // 32 + 1
-    safe_e = jnp.maximum(entries, 0)
-    visited = jnp.zeros((nq, nwords), dtype=jnp.uint32)
-    visited = visited.at[rows, safe_e >> 5].set(
-        jnp.uint32(1) << (safe_e & 31).astype(jnp.uint32))
+    # expansion history: one slot per possible step. The entry node needs
+    # no marking — it sits in the beam until popped, then lands in history.
+    history = jnp.full((nq, max_steps), -1, dtype=jnp.int32)
 
     def _done(t, beam_d, res_d, w_d):
         fmin = jnp.min(beam_d, axis=1)
@@ -463,11 +461,11 @@ def graph_beam_search_iterative(
         return done
 
     def cond(state):
-        t, beam_ids, beam_d, res_ids, res_d, w_d, visited = state
+        t, beam_ids, beam_d, res_ids, res_d, w_d, history = state
         return (t < max_steps) & ~jnp.all(_done(t, beam_d, res_d, w_d))
 
     def body(state):
-        t, beam_ids, beam_d, res_ids, res_d, w_d, visited = state
+        t, beam_ids, beam_d, res_ids, res_d, w_d, history = state
         sel = jnp.argmin(beam_d, axis=1)
         fmin = beam_d[rows, sel]
         active = jnp.isfinite(fmin) & ~_done(t, beam_d, res_d, w_d)
@@ -475,16 +473,13 @@ def graph_beam_search_iterative(
         # pop the expanded node from the queue
         beam_d = beam_d.at[rows, sel].set(INF)
         beam_ids = beam_ids.at[rows, sel].set(-1)
+        history = history.at[:, t].set(node)
 
         nb = _neighbors(node)                                    # (Q, M0)
         nb = jnp.where((node >= 0)[:, None], nb, -1)
-        nw = jnp.where(nb >= 0, nb >> 5, nwords - 1)             # word idx
-        nbit = (jnp.maximum(nb, 0) & 31).astype(jnp.uint32)
-        words = jnp.take_along_axis(visited, nw, axis=1)
-        seen = ((words >> nbit) & 1).astype(bool)
+        seen = (jnp.any(nb[:, :, None] == beam_ids[:, None, :], axis=-1)
+                | jnp.any(nb[:, :, None] == history[:, None, :], axis=-1))
         nb = jnp.where(seen, -1, nb)
-        visited = visited.at[rows[:, None], nw].add(
-            jnp.where(nb >= 0, jnp.uint32(1) << nbit, jnp.uint32(0)))
         nd = dist_to(nb)
 
         # queue merge: keep the ef nearest unexpanded candidates
@@ -538,9 +533,9 @@ def graph_beam_search_iterative(
         neg_top, pos = jax.lax.top_k(-r_d, k)
         res_d = -neg_top
         res_ids = jnp.take_along_axis(r_ids, pos, axis=1)
-        return (t + 1, beam_ids, beam_d, res_ids, res_d, w_d, visited)
+        return (t + 1, beam_ids, beam_d, res_ids, res_d, w_d, history)
 
-    state = (jnp.int32(0), beam_ids, beam_d, res_ids, res_d, w_d, visited)
+    state = (jnp.int32(0), beam_ids, beam_d, res_ids, res_d, w_d, history)
     state = jax.lax.while_loop(cond, body, state)
     _, _, _, res_ids, res_d, _, _ = state
 

@@ -31,10 +31,11 @@ from ..utils.logger import get_logger
 
 logger = get_logger("partition.graph_batch")
 
-# visited-bitmap budget per dispatch, in BITS: the iterative search packs
-# visited as (q_chunk, n_class/32) uint32 words, so 2^29 bits = 64 MB of
-# device scratch — large classes (n_class 128k) still get 4096-query chunks
-_VISITED_BUDGET = 1 << 29
+# per-dispatch query cap. The iterative search's dedup scratch is an
+# expansion HISTORY of (q_chunk, ms_bound) int32 (ops/graph_search.py) —
+# a few MB at any class size, so the chunk no longer scales with n_class;
+# 4096 stays the measured sweet spot for the serving pipeline.
+_QCHUNK = 4096
 
 
 def _pow2(n: int) -> int:
@@ -175,8 +176,7 @@ class GraphProbeBatcher:
 
             ef_eff = max(ef, k + 1)
             kk = min(k + 8, ef_eff)
-            qchunk = _pow2(min(max(_VISITED_BUDGET // max(n_class, 1), 32),
-                               4096))
+            qchunk = _QCHUNK
             chunk_res: List[Tuple[np.ndarray, np.ndarray]] = []
             t_grp = _time.perf_counter()
             for s in range(0, len(qarr), qchunk):
