@@ -83,11 +83,38 @@ class GraphProbeBatcher:
         # but the 2-3 per-class dispatches the round-3 profile measured
         # (65+232+407 ms, serialized on device) collapse into the largest
         # one. Memory: P * n_max * (M0_max + 1) int32 (~320 MB at 40 x
-        # 65536 x 33) — graph bytes, no vector duplication.
+        # 65536 x 33) — graph bytes, no vector duplication. Guard: skewed
+        # layouts (40 x 64k partitions + one 1M remainder) would pad to
+        # ~7 GB of dead cells, so merge only while padded cells stay
+        # within 3x the real cells; outliers keep their own class slab.
         if len(by_class) > 1:
-            n_max = max(s[0] for s in by_class)
-            m_max = max(s[1] for s in by_class)
-            for pid in list(graphs_np):
+            cells = {s: s[0] * (s[1] + 1) * len(p)
+                     for s, p in by_class.items()}
+            total_real = sum(
+                (graphs_np[p].shape[0] * (graphs_np[p].shape[1] + 1))
+                for ps in by_class.values() for p in ps)
+            shapes = sorted(by_class, key=lambda s: (s[0], s[1]))
+            merged: List[Tuple[int, int]] = []
+            n_parts = 0
+            for s in shapes:
+                cand = merged + [s]
+                n_cand = n_parts + len(by_class[s])
+                pad_cells = s[0] * (s[1] + 1) * n_cand
+                real = sum(cells[c] for c in cand)
+                if pad_cells <= 3 * real:
+                    merged = cand
+                    n_parts = n_cand
+                else:
+                    break
+            keep_out = [s for s in shapes if s not in merged]
+            merge_pids = sorted(
+                p for s in merged for p in by_class[s])
+        else:
+            merged, keep_out, merge_pids = list(by_class), [], []
+        if len(merged) > 1:
+            n_max = max(s[0] for s in merged)
+            m_max = max(s[1] for s in merged)
+            for pid in merge_pids:
                 g = graphs_np[pid]
                 if g.shape != (n_max, m_max):
                     gp = np.full((n_max, m_max), -1, np.int32)
@@ -97,7 +124,10 @@ class GraphProbeBatcher:
                     rmp = np.full(n_max, -1, np.int32)
                     rmp[: len(rm)] = rm
                     rowmaps_np[pid] = rmp
-            by_class = {(n_max, m_max): sorted(graphs_np)}
+            new_classes = {(n_max, m_max): merge_pids}
+            for s in keep_out:
+                new_classes[s] = by_class[s]
+            by_class = new_classes
 
         # one stacked slab per class
         self.class_of: Dict[int, Tuple[int, int]] = {}
