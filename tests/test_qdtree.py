@@ -106,3 +106,17 @@ def test_qdtree_debug_tooling(small_world, small_corpus):
         for lid in leaves:
             union |= tree.leaf_docs[lid]
         assert set(small_world.role_to_docs[r]) <= union
+
+
+def test_batch_router_matches_route(qd_setup):
+    """The vectorized batch router must make IDENTICAL decisions to the
+    per-query tree walk (route()): same leaves per (user, query vector),
+    including the prune-margin both-sides rule and doc reachability."""
+    world, corpus, arena, cfg, searcher = qd_setup
+    rng = np.random.default_rng(11)
+    q = rng.standard_normal((40, corpus.dim)).astype(np.float32)
+    users = rng.integers(0, world.num_users, 40)
+    got = searcher.batch_router(q, users)
+    for qi in range(40):
+        want = set(searcher.vector_router(int(users[qi]), q[qi]))
+        assert set(got[qi]) == want, (qi, sorted(got[qi]), sorted(want))

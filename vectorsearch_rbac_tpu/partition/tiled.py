@@ -183,12 +183,18 @@ class TiledSearcher:
         qmasks = query_masks_for(user_masks, user_ids)
 
         with self.timer.stage("route"):
+            brouter = getattr(self, "batch_router", None)
             vrouter = getattr(self, "vector_router", None)
+            all_pids = brouter(queries, user_ids) if brouter else None
             pid_queries: Dict[int, List[int]] = {}
             n_pids = np.zeros(nq, dtype=np.int32)
             for qi in range(nq):
-                pids = (vrouter(int(user_ids[qi]), queries[qi]) if vrouter
-                        else self.router(int(user_ids[qi])))
+                if all_pids is not None:
+                    pids = all_pids[qi]
+                elif vrouter is not None:
+                    pids = vrouter(int(user_ids[qi]), queries[qi])
+                else:
+                    pids = self.router(int(user_ids[qi]))
                 pids = [p for p in pids
                         if p in self.part_chunks or p in self._big]
                 n_pids[qi] = len(pids)
