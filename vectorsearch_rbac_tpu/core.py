@@ -157,30 +157,41 @@ class ArenaQuant:
 
     def quantize_queries_ip(
         self, q: np.ndarray, cosine: bool = False
-    ) -> Tuple[np.ndarray, float, np.ndarray]:
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """ip/cosine query quantization. Returns (q8 (Q, d_pad) int8,
-        inv, bias (Q,) f32) such that the kernel's -q8.x8 score times `inv`
-        plus `bias` is the true metric distance: queries keep their own
-        per-call scale (no center shift — the corpus centering contributes
-        only a per-query constant q.center, folded into bias), and cosine
-        normalizes q first and adds the +1 of (1 - cos)."""
+        inv (Q,) f32, bias (Q,) f32) such that the kernel's -q8.x8 score
+        times `inv[q]` plus `bias[q]` is the true metric distance: every
+        query keeps its OWN scale (no center shift — the corpus centering
+        contributes only a per-query constant q.center, folded into bias),
+        and cosine normalizes q first and adds the +1 of (1 - cos).
+
+        Per-QUERY scales matter twice: (a) one outlier component in a
+        2048-query batch would coarsen every other query's int8 code
+        (ranking noise in the kernel ordering), and (b) the dequantized-
+        query rerank rebuilds the float query as q8 * inv * scale — with
+        a batch-level scale that rebuild carried ~3-5 % per-component
+        noise and CAPPED cohere 768-d recall@100 at 0.984 while shipped
+        f32 queries measured 0.9963 (scripts/cohere_bisect.py). Scores
+        are only ever compared within one query, so per-query scales are
+        free for the kernel."""
         qf = np.asarray(q, dtype=np.float32)
         if cosine:
             qf = qf / np.maximum(
                 np.linalg.norm(qf, axis=1, keepdims=True), 1e-30)
         clip = min(self.qclip, 127)
-        qs = clip / (float(np.max(np.abs(qf))) or 1.0)
-        qq = np.clip(np.rint(qf * qs), -self.qclip, clip).astype(np.int8)
+        qs = clip / np.maximum(np.max(np.abs(qf), axis=1), 1e-30)  # (Q,)
+        qq = np.clip(np.rint(qf * qs[:, None]), -self.qclip,
+                     clip).astype(np.int8)
         d_pad = self.d_pad
         if qq.shape[1] < d_pad:
             qq = np.concatenate(
                 [qq, np.zeros((qq.shape[0], d_pad - qq.shape[1]), np.int8)],
                 axis=1)
-        inv = 1.0 / (qs * self.scale)
+        inv = (1.0 / (qs * self.scale)).astype(np.float32)
         bias = -(qf @ self.center.astype(np.float64)).astype(np.float32)
         if cosine:
             bias = bias + 1.0
-        return qq, float(inv), bias
+        return qq, inv, bias
 
     def quantize_masks(self, masks: np.ndarray,
                        num_roles: Optional[int] = None) -> np.ndarray:

@@ -71,7 +71,7 @@ def _lazy_jits():
     @functools.partial(
         jax.jit,
         static_argnames=("batch", "d", "w", "r_pad", "use_table",
-                         "has_bias", "dq",
+                         "has_bias", "dq", "qhalf",
                          "k", "kk", "q_tile", "block_rows", "group",
                          "merge", "interpret", "metric", "kernel_metric",
                          "wide", "id_bits", "wire", "rerank",
@@ -81,7 +81,7 @@ def _lazy_jits():
                    batch, d, w, r_pad, use_table, has_bias, dq, k, kk,
                    q_tile, block_rows, group, merge, interpret, metric,
                    kernel_metric, wide, id_bits, wire, rerank,
-                   score_shift=0):
+                   score_shift=0, qhalf=False):
         """ONE dispatch per batch: slice this batch's packed uint8 row out
         of the pass buffer (int8 queries + uint16 user ids OR uint32 mask
         bitsets [+ bias] [+ f32 queries]), unpack, run the fused kernel,
@@ -115,20 +115,37 @@ def _lazy_jits():
                 jnp.uint32)
             off += batch * 4 * w
         bias_b = None
+        inv_b = None
         if has_bias:
             bias_b = jax.lax.bitcast_convert_type(
                 buf[off:off + batch * 4].reshape(batch, 4), jnp.float32)
             off += batch * 4
+            inv_b = jax.lax.bitcast_convert_type(
+                buf[off:off + batch * 4].reshape(batch, 4), jnp.float32)
+            off += batch * 4
         qf_b = None
         if dq:
-            qf_b = jax.lax.bitcast_convert_type(
-                buf[off:off + batch * 4 * dq].reshape(batch, dq, 4),
-                jnp.float32)
+            if qhalf:
+                # f16 rerank-query wire: half the f32 upload; ~5e-4
+                # relative per component - far below the corpus int8
+                # error the rerank corrects (the DEQUANTIZED rebuild it
+                # replaces carried the batch-max scale's ~3-5 %/component
+                # noise, which capped cohere recall@100 at 0.984 while
+                # f32-shipped queries measured 0.9963; scripts/
+                # cohere_bisect.py)
+                qf_b = jax.lax.bitcast_convert_type(
+                    buf[off:off + batch * 2 * dq].reshape(batch, dq, 2),
+                    jnp.float16).astype(jnp.float32)
+            else:
+                qf_b = jax.lax.bitcast_convert_type(
+                    buf[off:off + batch * 4 * dq].reshape(batch, dq, 4),
+                    jnp.float32)
         m8b = expand_masks_device(mk, r_pad)
 
         kern = int8_masked_topk_wide if wide else int8_masked_topk
         dd, ii = kern(
-            q8b, qnb, vq, nq_, r8, m8b, inv, kk,
+            q8b, qnb, vq, nq_, r8, m8b,
+            inv if inv_b is None else inv_b, kk,
             q_tile=q_tile, block_rows=block_rows, group=group, merge=merge,
             interpret=interpret, metric=kernel_metric, query_bias=bias_b,
             score_shift=score_shift,
@@ -143,8 +160,14 @@ def _lazy_jits():
                 # query rounding error is <= 0.5/q_scale per component —
                 # far below the corpus quantization error rerank exists
                 # to undo)
-                qf = (q8b.astype(jnp.float32) * q_dequant
-                      + center[None, :])[:, : mirror_vec.shape[1]]
+                if metric == "l2":
+                    qf = (q8b.astype(jnp.float32) * q_dequant
+                          + center[None, :])[:, : mirror_vec.shape[1]]
+                else:
+                    # per-query rebuild: q8 / qs_q = q8 * inv_q * scale
+                    qf = (q8b.astype(jnp.float32)
+                          * (inv_b * q_dequant)[:, None]
+                          )[:, : mirror_vec.shape[1]]
             if metric == "cosine":
                 qf = qf / jnp.maximum(
                     jnp.linalg.norm(qf, axis=1, keepdims=True), 1e-30)
@@ -271,10 +294,20 @@ class Int8FlatIndex:
         self.dist16 = dist16
         self.wire = wire or ("bf16" if dist16 else "f32")
         self.merge = merge
-        # auto: wide-d corpora dequant-rerank (shipping 768 f32 components
-        # per query would cost more upload than the whole int8 pass)
+        # auto: wide-d corpora default to the dequantized-query rebuild
+        # (the upload-free fast leg), narrow-d ship f16 queries. Measured
+        # trade on cohere 1M x 768 cosine, 16k queries (scripts/
+        # cohere_bisect.py + /tmp checks, round 3): per-QUERY-scale
+        # dequant 0.9855 @ 20.8k QPS; shipped f16 queries 0.9924 @ 9.0k
+        # (f16 adds 1.5 KB/query to a tunnel-bandwidth-bound pass);
+        # shipped f32 0.9963; no rerank 0.9765. The original BATCH-scale
+        # dequant rebuild capped recall at 0.9839 — one outlier component
+        # in the batch coarsened every query's rebuild — which is why
+        # quantize_queries_ip now keeps per-query scales. Pass
+        # rerank_dequant=False for the accuracy leg.
         self.rerank_dequant = (self.wide if rerank_dequant is None
                                else rerank_dequant)
+        self.rerank_qhalf = True
 
         self.logical = logical and rows is not None
         if rows is None:
@@ -387,9 +420,11 @@ class Int8FlatIndex:
             inv = jnp.float32(1.0 / quant.scale**2)
             bias = None
         else:
-            q8, inv_f, bias = quant.quantize_queries_ip(
+            # per-QUERY scales (core.quantize_queries_ip): inv ships in
+            # the packed buffer (4 B/query) alongside bias
+            q8, inv_arr, bias = quant.quantize_queries_ip(
                 qf, cosine=self.metric == "cosine")
-            inv = jnp.float32(inv_f)
+            inv = jnp.float32(0.0)  # unused; per-query inv_b on device
         r_pad = quant.r_pad
         # Mosaic kernels need a TPU; CPU (tests) runs the interpreter
         interp = jax.default_backend() == "cpu"
@@ -409,6 +444,9 @@ class Int8FlatIndex:
         w = (self._user_table.shape[1] if use_table else masks.shape[1])
         has_bias = bias is not None
         ship_qf = self.rerank and not self.rerank_dequant
+        qhalf = ship_qf and self.rerank_qhalf
+        qf_ship = (np.ascontiguousarray(qf, dtype=np.float16)
+                   if qhalf else qf)
 
         def _col(arr, width, s):
             out = np.zeros(bs * width, np.uint8)
@@ -426,8 +464,10 @@ class Int8FlatIndex:
                 seg.append(_col(masks, 4 * w, s))
             if has_bias:
                 seg.append(_col(bias.astype(np.float32), 4, s))
+                seg.append(_col(inv_arr, 4, s))
             if ship_qf:
-                seg.append(_col(qf, 4 * qf.shape[1], s))
+                seg.append(_col(qf_ship, (2 if qhalf else 4) * qf.shape[1],
+                                s))
             return np.concatenate(seg)
 
         buf_all = jax.device_put(
@@ -438,8 +478,10 @@ class Int8FlatIndex:
                 [quant.center.astype(np.float32),
                  np.zeros(d_cols - len(quant.center), np.float32)]))
         else:
-            # quantize_queries_ip: q8 = round(q * qs), inv = 1/(qs*scale)
-            q_dequant = jnp.float32(float(inv) * quant.scale)
+            # quantize_queries_ip: q8 = round(q * qs_q), inv_q = 1/(qs_q *
+            # scale); the device rebuild multiplies q8 by inv_q * scale =
+            # 1/qs_q, so q_dequant carries the corpus scale constant
+            q_dequant = jnp.float32(quant.scale)
             center_d = jnp.zeros(d_cols, jnp.float32)
 
         mirror_vec = self._arena.vectors if self.rerank else None
@@ -464,7 +506,7 @@ class Int8FlatIndex:
                 self._user_table if use_table else None,
                 batch=bs, d=d_cols, w=w, r_pad=r_pad,
                 use_table=use_table, has_bias=has_bias,
-                dq=qf.shape[1] if ship_qf else 0,
+                dq=qf.shape[1] if ship_qf else 0, qhalf=qhalf,
                 k=k, kk=kk, q_tile=q_tile,
                 block_rows=self.block_rows, group=self.group,
                 merge=self.merge, interpret=interp, metric=self.metric,

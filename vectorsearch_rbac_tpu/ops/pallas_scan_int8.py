@@ -223,11 +223,15 @@ def _merge_group_minima(packed, query_norms, inv_scale_sq, k, group, merge,
         score = jax.lax.shift_left(score, score_shift)   # restore magnitude
 
     empty = vals >= EMPTY_I32
+    # inv may be a scalar (l2: 1/scale^2) or per-QUERY (Q,) (ip/cosine:
+    # every query keeps its own int8 scale, core.quantize_queries_ip)
+    inv2 = (inv_scale_sq if jnp.ndim(inv_scale_sq) == 0
+            else inv_scale_sq[:, None])
     if metric == "l2":
-        dists = (score + query_norms[:, None]).astype(jnp.float32) * inv_scale_sq
+        dists = (score + query_norms[:, None]).astype(jnp.float32) * inv2
         dists = jnp.maximum(dists, 0.0)
     else:
-        dists = score.astype(jnp.float32) * inv_scale_sq
+        dists = score.astype(jnp.float32) * inv2
     if query_bias is not None:
         dists = dists + query_bias[:, None]
     dists = jnp.where(empty, jnp.inf, dists)
@@ -511,11 +515,13 @@ def int8_masked_topk_reference(
     neg_top, idx = jax.lax.top_k(-score, k)
     vals = -neg_top
     empty = vals >= big
+    inv2 = (inv_scale_sq if jnp.ndim(inv_scale_sq) == 0
+            else inv_scale_sq[:, None])
     if metric == "l2":
-        dists = (vals + query_norms[:, None]).astype(jnp.float32) * inv_scale_sq
+        dists = (vals + query_norms[:, None]).astype(jnp.float32) * inv2
         dists = jnp.maximum(dists, 0.0)
     else:
-        dists = vals.astype(jnp.float32) * inv_scale_sq
+        dists = vals.astype(jnp.float32) * inv2
     if query_bias is not None:
         dists = dists + query_bias[:, None]
     dists = jnp.where(empty, jnp.inf, dists)
