@@ -73,15 +73,25 @@ for size in SIZES:
             denom = np.maximum((truth >= 0).sum(axis=1), 1)
             recalls.append(float((hit.any(axis=1).sum(axis=1) / denom).mean()))
             times.append(dt)
-        # fit on even sweep points, validate recall on held-out odd points
+        # fit on even sweep points, validate recall AND time on the
+        # held-out odd points. The time constants (a, b) are fitted per
+        # cell like the recall family - validating against the class
+        # defaults measured the defaults, not the family (first run of
+        # this script reported time MAPE ~45 that way)
         l_pad = size / idx.nlist
+        xe = np.array(NPROBES, dtype=np.float64)[::2] * l_pad
+        ye = np.array(times, dtype=np.float64)[::2] / np.log(size)
+        A = np.vstack([xe, np.ones_like(xe)]).T
+        (a_fit, b_fit), *_ = np.linalg.lstsq(A, ye, rcond=None)
         fit = fit_ivf_coverage(np.array(NPROBES)[::2],
-                               np.array(recalls)[::2], l_pad=l_pad)
+                               np.array(recalls)[::2], l_pad=l_pad,
+                               a=max(float(a_fit), 1e-12),
+                               b=max(float(b_fit), 0.0))
         pred = [fit.recall(npb) for npb in NPROBES]
         held = [abs(pred[j] - recalls[j]) for j in range(1, len(NPROBES), 2)]
         pred_t = [fit.partition_time(size, npb) for npb in NPROBES]
-        mape = float(np.mean([abs(p - m) / max(m, 1e-12)
-                              for p, m in zip(pred_t, times)]))
+        mape = float(np.mean([abs(pred_t[j] - times[j]) / max(times[j], 1e-12)
+                              for j in range(1, len(NPROBES), 2)]))
         cell = {"n": int(size), "sel": float(sel), "nprobes": NPROBES,
                 "measured_recall": [round(r, 4) for r in recalls],
                 "predicted_recall": [round(p, 4) for p in pred],
@@ -98,7 +108,7 @@ for size in SIZES:
 out = {
     "config": f"IVF coverage family validation: {SIZES} x {SELS} x "
               f"nprobe {NPROBES}, clustered sift-like 1M, top-{TOPK}, "
-              "fit on even sweep points / MAE on held-out odd points",
+              "fit (recall family AND time a,b) on even sweep points / MAE+MAPE on held-out odd points",
     "hardware": "TPU v5e (axon tunnel)",
     "cells": cells,
     "heldout_recall_mae": round(float(np.mean(

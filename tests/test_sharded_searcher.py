@@ -177,3 +177,64 @@ def test_sharded_int8_flagship_parity(small_world, small_corpus):
         for r in ids[qi]:
             if r >= 0:
                 assert (bits[int(r)] & masks[qi]).any()
+
+
+def test_sharded_graph_parity(small_world, small_corpus):
+    """Partition-per-chip GRAPH serving (logical HNSW slabs, replicated
+    arena) must return the same ids as the single-chip GraphProbeBatcher
+    for the same probe jobs — identical multi-graph iterative search, so
+    parity is exact up to result-distance dtype."""
+    import numpy as np
+
+    from vectorsearch_rbac_tpu.core import build_device_arena
+    from vectorsearch_rbac_tpu.index.hnsw import HNSWIndex
+    from vectorsearch_rbac_tpu.parallel import (
+        ShardedGraphSearcher, make_mesh,
+    )
+    from vectorsearch_rbac_tpu.partition.graph_batch import GraphProbeBatcher
+
+    arena = build_device_arena(small_corpus, small_world, block_rows=128,
+                               dtype="int8")
+    parts = {}
+    for pid, role in enumerate(sorted(small_world.role_to_docs)):
+        docs = small_world.role_to_docs[role]
+        rows = small_corpus.rows_for_docs(
+            np.fromiter(docs, dtype=np.int64, count=len(docs)))
+        if len(rows) >= 40:
+            parts[pid] = HNSWIndex(arena, rows, m=8, ef_construction=48,
+                                   seed=pid, logical=True)
+        if len(parts) == 4:
+            break
+    assert len(parts) >= 2
+
+    rng = np.random.default_rng(7)
+    nq, k = 24, 5
+    q = rng.standard_normal((nq, small_corpus.dim)).astype(np.float32)
+    users = rng.integers(0, small_world.num_users, nq)
+    qmasks = small_world.user_masks[users].astype(np.uint32)
+    jobs = []
+    for pid in parts:
+        jobs.append((pid, list(range(nq // 2)),
+                     {"ef_search": 32, "max_steps": 48}))
+        jobs.append((pid, list(range(nq // 2, nq)),
+                     {"ef_search": 32, "max_steps": 48}))
+
+    batcher = GraphProbeBatcher(arena, parts)
+    single = batcher.run(q, qmasks, jobs, k)
+
+    states = {pid: {"neighbors": np.asarray(idx._graph),
+                    "entry": int(idx.entry),
+                    "row_map": np.asarray(idx._row_map)}
+              for pid, idx in parts.items()}
+    mesh = make_mesh(8, n_replicas=1)
+    sharded = ShardedGraphSearcher(arena, states, mesh)
+    multi = sharded.run(q, qmasks, jobs, k)
+
+    for j in range(len(jobs)):
+        d1, i1 = single[j]
+        d2, i2 = multi[j]
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(d1, d2, rtol=1e-2, atol=1.0)
+    rep = sharded.storage_report()
+    assert rep["num_devices"] == 8
+    assert rep["graph_mb_total"] > 0
