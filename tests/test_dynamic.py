@@ -194,3 +194,41 @@ def test_graph_batcher_parity(small_world, small_corpus):
         assert set(got_b) == set(got_u), (qi, sorted(got_b), sorted(got_u))
         agree += 1
     assert agree == nq
+
+
+def test_dynamic_mesh_graph_serving(small_world, small_corpus):
+    """build_dynamic_searcher(mesh=...) swaps the single-chip slab batcher
+    for the partition-per-chip ShardedGraphSearcher; same plan, same probe
+    params => identical result sets (the executor is run()-compatible)."""
+    from vectorsearch_rbac_tpu.core import build_device_arena
+    from vectorsearch_rbac_tpu.parallel import make_mesh
+    from vectorsearch_rbac_tpu.parallel.graph_sharded import (
+        ShardedGraphSearcher,
+    )
+    from vectorsearch_rbac_tpu.partition.dynamic import build_dynamic_searcher
+
+    cfg = FrameworkConfig()
+    cfg.index.kind = "hnsw"
+    cfg.index.hnsw_m = 8
+    cfg.index.hnsw_ef_construction = 48
+    cfg.search.ef_search = 32
+    cfg.optimizer.storage_alpha = 1.5
+    arena = build_device_arena(small_corpus, small_world, block_rows=128,
+                               dtype="int8")
+    s1 = build_dynamic_searcher(small_corpus, small_world, arena, cfg,
+                                packed=False)
+    mesh = make_mesh(8, n_replicas=1)
+    s2 = build_dynamic_searcher(small_corpus, small_world, arena, cfg,
+                                plan=s1.plan, packed=False, mesh=mesh)
+    assert isinstance(s2.graph_batcher, ShardedGraphSearcher)
+    assert s2.graph_batcher.n_devices == 8
+
+    rng = np.random.default_rng(9)
+    nq, k = 32, 8
+    q = rng.standard_normal((nq, small_corpus.dim)).astype(np.float32)
+    users = rng.integers(0, small_world.num_users, nq)
+    d1, i1 = s1.search_batch(q, users, small_world.user_masks, k)
+    d2, i2 = s2.search_batch(q, users, small_world.user_masks, k)
+    for qi in range(nq):
+        assert (set(int(x) for x in i1[qi] if x >= 0)
+                == set(int(x) for x in i2[qi] if x >= 0)), qi

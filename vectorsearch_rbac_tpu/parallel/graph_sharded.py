@@ -68,6 +68,9 @@ class ShardedGraphSearcher:
         self.timer = StageTimer()
         self.n_devices = mesh.shape[SHARD_AXIS]
         S = self.n_devices
+        # PartitionedSearcher routes probe jobs to `batcher.pids`
+        # (partition/base.py) — same contract as GraphProbeBatcher
+        self.pids = set(graph_states)
 
         w = partition_weights or {}
         loads = {pid: len(st["row_map"]) * float(w.get(pid, 1.0))
@@ -168,27 +171,41 @@ class ShardedGraphSearcher:
         k: int,
     ) -> List[Tuple[np.ndarray, np.ndarray]]:
         """GraphProbeBatcher.run-compatible: execute probe jobs across the
-        mesh; returns per job (dists (len(qsub), k), arena row ids)."""
+        mesh; returns per job (dists (len(qsub), k), arena row ids).
+
+        Jobs are bucketed by pow2(ef) like the single-chip batcher — ef is
+        the beam WIDTH (a semantic parameter), so jobs with different ef
+        must not share a dispatch; max_steps rides as a traced per-query
+        budget within a bucket."""
+        out: List[Optional[Tuple[np.ndarray, np.ndarray]]] = [None] * len(jobs)
+        buckets: Dict[int, List[int]] = {}
+        for j, (pid, qsub, kw) in enumerate(jobs):
+            buckets.setdefault(
+                _pow2(int(kw.get("ef_search", 48))), []).append(j)
+        for ef_b, job_ids in sorted(buckets.items()):
+            self._run_bucket(queries, qmasks, jobs, job_ids, k, ef_b, out)
+        return out  # type: ignore[return-value]
+
+    def _run_bucket(self, queries, qmasks, jobs, job_ids, k, ef_bucket, out):
         import jax.numpy as jnp
 
         S = self.n_devices
-        out: List[Optional[Tuple[np.ndarray, np.ndarray]]] = [None] * len(jobs)
 
         with self.timer.stage("route"):
             # per device: flattened (job, qi, slot, entry, budget) stream
             dev_rows: List[List[Tuple[int, int, int, int, int]]] = [
                 [] for _ in range(S)]
-            ef_max, ms_max = 8, 8
-            for j, (pid, qsub, kw) in enumerate(jobs):
+            ms_max = 8
+            for j in job_ids:
+                pid, qsub, kw = jobs[j]
                 dev, slot = self.slot_of[pid]
                 ent = int(kw.get("entry_local", self.entry_of[pid]))
                 ms = int(kw.get("max_steps", 64))
-                ef_max = max(ef_max, int(kw.get("ef_search", 48)))
                 ms_max = max(ms_max, ms)
                 for qi in qsub:
                     dev_rows[dev].append((j, qi, slot, ent, ms))
             qd = _pow2(max(1, max(len(r) for r in dev_rows)))
-            ef_eff = max(_pow2(ef_max), k + 1)
+            ef_eff = max(ef_bucket, k + 1)
             kk = min(k + 8, ef_eff)
             ms_bound = _pow2(ms_max)
 
@@ -227,7 +244,8 @@ class ShardedGraphSearcher:
                         -1)
                     per_job.setdefault(j, []).append(
                         (d[dev, r].astype(np.float64), rows))
-            for j, (pid, qsub, kw) in enumerate(jobs):
+            for j in job_ids:
+                pid, qsub, kw = jobs[j]
                 pairs = per_job.get(j, [])
                 dd = np.empty((len(qsub), k), np.float32)
                 ii = np.empty((len(qsub), k), np.int64)
@@ -236,7 +254,6 @@ class ShardedGraphSearcher:
                     dd[qi_local] = md[0]
                     ii[qi_local] = mi[0]
                 out[j] = (dd, ii)
-        return out  # type: ignore[return-value]
 
     def storage_report(self) -> Dict[str, float]:
         mb = 1024 * 1024

@@ -94,13 +94,20 @@ def build_dynamic_searcher(
     single_role_weights: Optional[Dict[int, float]] = None,
     packed: bool = True,
     graph_states: Optional[Dict[int, dict]] = None,
+    mesh=None,
 ) -> PartitionedSearcher:
     """Build the AnonySys strategy searcher; plans first if no plan given.
 
     graph_states: optional {pid: HNSWIndex.graph_state()} map — partitions
     found here skip graph construction and resume from the persisted graph
     (the reference's per-partition .faiss index files reloaded by
-    load_result_to_database.py; pair with utils.persist.save_npz)."""
+    load_result_to_database.py; pair with utils.persist.save_npz).
+
+    mesh: optional 1D device mesh (parallel.mesh SHARD_AXIS) — the
+    strategy's logical HNSW partitions shard across it (graph slabs per
+    chip, arena replicated; parallel/graph_sharded.py) instead of the
+    single-chip slab batcher. Probe-group routing/merging is identical:
+    ShardedGraphSearcher is run()-compatible with GraphProbeBatcher."""
     if plan is None:
         if inputs is None:
             inputs = PlannerInputs(
@@ -304,7 +311,18 @@ def build_dynamic_searcher(
 
         gparts = {pid: p.index for pid, p in partitions.items()
                   if isinstance(p.index, HNSWIndex) and p.index.logical}
-        if gparts:
+        if gparts and mesh is not None:
+            from ...parallel.graph_sharded import ShardedGraphSearcher
+
+            states = {pid: {"neighbors": np.asarray(ix._graph),
+                            "entry": int(ix.entry),
+                            "row_map": np.asarray(ix._row_map)}
+                      for pid, ix in gparts.items()}
+            weights = {pid: float(len(partitions[pid].rows))
+                       for pid in gparts}
+            searcher.graph_batcher = ShardedGraphSearcher(
+                arena, states, mesh, partition_weights=weights)
+        elif gparts:
             searcher.graph_batcher = GraphProbeBatcher(arena, gparts)
     return searcher
 
