@@ -30,6 +30,7 @@ from ..ops.tiled_scan import finish_scores, tiled_scan_core
 from ..ops.topk import merge_topk_host
 from ..utils.logger import get_logger
 from ..utils.tracing import StageTimer
+from ..partition.tiled import chunk_class
 from .mesh import SHARD_AXIS, shard_map_compat
 
 logger = get_logger("parallel.tiled_sharded")
@@ -246,7 +247,7 @@ class ShardedTiledSearcher:
         per_class: Dict[int, List[List[Tuple[int, List[int]]]]] = {}
         for (dev, pid), qidx in dev_pid_queries.items():
             nc = len(next(iter(self.part_chunks[pid].values())))
-            cb = small_cap if nc <= small_cap else _pow2(nc)
+            cb = chunk_class(nc, small_cap)
             slots = per_class.setdefault(cb, [[] for _ in range(S)])
             for s0 in range(0, len(qidx), qt):
                 slots[dev].append((pid, qidx[s0:s0 + qt]))

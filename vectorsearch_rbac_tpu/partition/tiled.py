@@ -33,6 +33,20 @@ def _pow2(n: int) -> int:
     return 1 << (max(n, 1) - 1).bit_length()
 
 
+def chunk_class(nc: int, small_cap: int) -> int:
+    """Dispatch chunk-capacity class for an nc-chunk partition: pow2 AND
+    3*2^k intermediate classes. Pure pow2 padding wastes up to ~2x scan
+    work right above a boundary (a 17-chunk qd-tree leaf pads to 32 —
+    88% dummy chunks); the 24-class cuts that to 41% while keeping the
+    compiled-shape count O(log): classes are {small, 12, 16, 24, 32,
+    48, 64, ...}."""
+    if nc <= small_cap:
+        return small_cap
+    p = _pow2(nc)
+    mid = 3 * p // 4
+    return mid if nc <= mid else p
+
+
 # dispatch-shape discipline: at most 2 chunk classes x 1 slot count
 _SMALL_CHUNKS = 8          # small class: partitions <= 8 chunks (16k rows)
 _SLOTS_PER_DISPATCH = 64   # fixed slot count per dispatch (64 x q_tile=64
@@ -229,7 +243,7 @@ class TiledSearcher:
         buckets: Dict[int, List[Tuple[int, List[int]]]] = {}
         for pid, qidx in pid_queries.items():
             nc = len(self.part_chunks[pid])
-            cb = small_cap if nc <= small_cap else _pow2(nc)
+            cb = chunk_class(nc, small_cap)
             for s in range(0, len(qidx), qt):
                 buckets.setdefault(cb, []).append((pid, qidx[s:s + qt]))
 
