@@ -346,9 +346,10 @@ def cmd_test(args) -> None:
         logger.info("loaded fitted cost-model params from %s", pjson)
 
     arena = build_device_arena(corpus, world, block_rows=cfg.search.block_rows,
-                               dtype=args.dtype)
+                               dtype=args.dtype, metric=args.metric)
     gt_arena = arena if args.dtype == "float32" else build_device_arena(
-        corpus, world, block_rows=cfg.search.block_rows, dtype="float32")
+        corpus, world, block_rows=cfg.search.block_rows, dtype="float32",
+        metric=args.metric)
     oracle = GroundTruthOracle(gt_arena, cache_dir=args.artifacts,
                                block_rows=cfg.search.block_rows)
 
@@ -454,6 +455,10 @@ def main(argv=None) -> None:
     st.add_argument("--algorithm", required=True,
                     choices=sorted(ALGORITHM_TO_STRATEGY))
     st.add_argument("--efs", type=int, nargs="+", default=[40])
+    st.add_argument("--metric", default="l2",
+                    choices=["l2", "ip", "cosine"],
+                    help="distance metric (pgvector <-> / <#> / <=> "
+                         "operator family)")
     st.add_argument("--topk", type=int, default=10)
     st.add_argument("--queries-num", type=int, default=1000)
     st.add_argument("--index", default="flat_approx",
