@@ -119,3 +119,38 @@ def test_int8flat_logical_matches_physical(corpus, world, arena):
     sp, sl = phys.storage_bytes(), logi.storage_bytes()
     assert sl["vectors"] == 0 and sp["vectors"] > 0
     assert sl["index"] < sp["index"] + sp["vectors"]
+
+
+def test_tiled_big_logical_parity(corpus, world, arena):
+    """big_logical=True (big tier served from the shared arena by row
+    gather) must return the same results as the gathered-copy big tier."""
+    import numpy as np
+
+    from vectorsearch_rbac_tpu.partition.tiled import TiledSearcher
+
+    partition_rows = {}
+    for role, docs in sorted(world.role_to_docs.items()):
+        rows = corpus.rows_for_docs(
+            np.fromiter(docs, dtype=np.int64, count=len(docs)))
+        if len(rows):
+            partition_rows[role] = rows
+    u2r = world.user_to_roles
+
+    def router(uid):
+        return tuple(r for r in u2r.get(uid, ()) if r in partition_rows)
+
+    # big_chunks=0 forces EVERY partition into the big tier
+    kw = dict(chunk_rows=128, q_tile=8, num_roles=world.num_roles,
+              big_chunks=0, big_group=8, scan_group=0)
+    phys = TiledSearcher(arena, partition_rows, router, name="t", **kw)
+    logi = TiledSearcher(arena, partition_rows, router, name="t",
+                         big_logical=True, **kw)
+    assert len(phys._big) == len(partition_rows)
+
+    rng = np.random.default_rng(4)
+    q = rng.standard_normal((16, corpus.dim)).astype(np.float32)
+    users = rng.integers(0, world.num_users, 16)
+    dp, ip = phys.search_batch(q, users, world.user_masks, k=6)
+    dl, il = logi.search_batch(q, users, world.user_masks, k=6)
+    np.testing.assert_array_equal(ip, il)
+    np.testing.assert_allclose(dp, dl, rtol=1e-3, atol=1e-1)

@@ -160,7 +160,8 @@ def build_dynamic_searcher(
             from ..tiled import TiledSearcher
             searcher = TiledSearcher(arena, partition_rows, router,
                                      name="dynamic", num_roles=world.num_roles,
-                                     scan_group=cfg.search.scan_group)
+                                     scan_group=cfg.search.scan_group,
+                                     big_logical=cfg.index.big_logical)
             searcher.plan = plan
             return searcher
         from ..packed import PackedSearcher

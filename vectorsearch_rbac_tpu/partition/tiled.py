@@ -82,6 +82,9 @@ class TiledSearcher:
                                 # loss ~ C(k,2) / (n_rows/group))
         scan_group: int = 32,   # chunk-engine epilogue group (0 = exact
                                 # per-chunk top-k; ops/tiled_scan.py)
+        big_logical: bool = False,  # big tier serves from the SHARED
+                                # arena by row gather (no contiguous int8
+                                # copy) — cfg.index.big_logical
     ):
         import jax
 
@@ -115,7 +118,8 @@ class TiledSearcher:
                 # the serving batch to 2048)
                 self._big[pid] = Int8FlatIndex(
                     arena, np.asarray(rows), query_batch=2048, q_tile=1024,
-                    block_rows=8192, group=big_group, dist16=False)
+                    block_rows=8192, group=big_group, dist16=False,
+                    logical=big_logical)
 
         # chunk 0 is the dummy all-masked chunk (zero role one-hot rows are
         # inadmissible for every query) — padding slots point here

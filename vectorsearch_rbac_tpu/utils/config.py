@@ -61,6 +61,12 @@ class IndexConfig:
     # partition mode, shared_vector_table.h) and become batchable into
     # multi-partition slab dispatches (partition/graph_batch.py)
     hnsw_logical: bool = False
+    # big-tier partitions (> big_chunks in the tiled engine) serve from
+    # the SHARED arena via row-map gather instead of a contiguous int8
+    # copy — the flat-scan analog of hnsw_logical. Trades a per-pass
+    # gather for zero duplication; REQUIRED at 10M-scale alpha>1 layouts
+    # where gathered big-tier copies alone exceed HBM
+    big_logical: bool = False
 
 
 @dataclass
