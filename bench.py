@@ -41,14 +41,14 @@ def main():
     ap.add_argument("--strategy", default="rls",
                     choices=["rls", "role", "user", "dynamic", "qdtree"])
     ap.add_argument("--index", default="flat_approx",
-                    choices=["flat", "flat_approx", "ivf", "hnsw"])
+                    choices=["flat", "flat_approx", "ivf", "hnsw", "binary"])
     ap.add_argument("--dtype", default="int8",
                     help="serving arena dtype; int8 rides the MXU's 2x-rate "
                          "int8 path (exact for SIFT-family corpora)")
     ap.add_argument("--block-rows", type=int, default=131072)
     ap.add_argument("--dataset", default="sift1m",
                     choices=["sift1m", "sift10m", "cohere", "synthetic"])
-    ap.add_argument("--metric", default="l2", choices=["l2", "ip", "cosine"],
+    ap.add_argument("--metric", default="l2", choices=["l2", "ip", "cosine", "l1"],
                     help="distance metric (pgvector <-> / <#> / <=> analog)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--batch", type=int, default=0,

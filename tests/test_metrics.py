@@ -34,6 +34,8 @@ def _oracle(corpus, world, q, mask, k, metric):
     v = corpus.vectors.astype(np.float64)
     if metric == "l2":
         dist = ((v - q.astype(np.float64)) ** 2).sum(axis=1)
+    elif metric == "l1":
+        dist = np.abs(v - q.astype(np.float64)).sum(axis=1)
     elif metric == "ip":
         dist = -(v @ q.astype(np.float64))
     else:  # cosine
@@ -52,7 +54,7 @@ def _workload(corpus, world, nq, seed=0):
     return q, users, world.user_masks[users]
 
 
-@pytest.mark.parametrize("metric", ["ip", "cosine"])
+@pytest.mark.parametrize("metric", ["ip", "cosine", "l1"])
 def test_flat_exact_scan_matches_oracle(corpus, world, metric):
     from vectorsearch_rbac_tpu.index.flat import FlatIndex
 
@@ -70,7 +72,7 @@ def test_flat_exact_scan_matches_oracle(corpus, world, metric):
             assert abs(d[qi, j] - dist[r]) < 5e-2 + 1e-2 * abs(dist[r])
 
 
-@pytest.mark.parametrize("metric", ["ip", "cosine"])
+@pytest.mark.parametrize("metric", ["ip", "cosine", "l1"])
 def test_flat_approx_aug_scan(corpus, world, metric):
     from vectorsearch_rbac_tpu.index.flat import FlatIndex
 
@@ -120,7 +122,7 @@ def test_int8_engine_metric(corpus, world, metric):
     assert hits / total >= 0.85, f"{metric}: {hits/total}"
 
 
-@pytest.mark.parametrize("metric", ["ip", "cosine"])
+@pytest.mark.parametrize("metric", ["ip", "cosine", "l1"])
 def test_hnsw_metric(corpus, world, metric):
     from vectorsearch_rbac_tpu.index.hnsw import HNSWIndex
 

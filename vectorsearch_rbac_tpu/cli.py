@@ -456,13 +456,13 @@ def main(argv=None) -> None:
                     choices=sorted(ALGORITHM_TO_STRATEGY))
     st.add_argument("--efs", type=int, nargs="+", default=[40])
     st.add_argument("--metric", default="l2",
-                    choices=["l2", "ip", "cosine"],
+                    choices=["l2", "ip", "cosine", "l1"],
                     help="distance metric (pgvector <-> / <#> / <=> "
                          "operator family)")
     st.add_argument("--topk", type=int, default=10)
     st.add_argument("--queries-num", type=int, default=1000)
     st.add_argument("--index", default="flat_approx",
-                    choices=["flat", "flat_approx", "ivf", "hnsw"])
+                    choices=["flat", "flat_approx", "ivf", "hnsw", "binary"])
     st.add_argument("--dtype", default="bfloat16")
     st.add_argument("--block-rows", type=int, default=65536)
     st.add_argument("--nprobe", type=int, default=16)

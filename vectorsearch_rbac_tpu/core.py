@@ -328,8 +328,12 @@ def build_device_arena(
     import jax
     import jax.numpy as jnp
 
-    assert metric in ("l2", "ip", "cosine"), metric
+    assert metric in ("l2", "ip", "cosine", "l1"), metric
     quantized = dtype == "int8"
+    # l1 (pgvector <+>) has no matmul/int8-dot form: it is served by the
+    # broadcast-|x-q| VPU scan and the graph paths only
+    assert not (quantized and metric == "l1"), \
+        "l1 cannot ride the int8 MXU path; use dtype float32/bfloat16"
     store_dtype = "bfloat16" if quantized else dtype
 
     n, d = corpus.n, corpus.dim
@@ -378,7 +382,7 @@ def build_device_arena(
         host_bits=bits,
         vectors_aug=(
             put(augment_with_norms(vecs, norms).astype(jnp.dtype(store_dtype)))
-            if (with_aug and not quantized) else None
+            if (with_aug and not quantized and metric != "l1") else None
         ),
         quant=quant,
         metric=metric,

@@ -100,12 +100,14 @@ class FlatIndex:
             self._bits = jax.device_put(bits)
             self._row_map = jax.device_put(rmap)
             self._gathered = True
-            if mode == "approx":
+            if mode == "approx" and self.metric != "l1":
                 from ..core import augment_with_norms
                 self._vectors_aug = jax.device_put(
                     augment_with_norms(vecs, norms).astype(part_dtype)
                 )
             else:
+                # l1 (pgvector <+>) has no matmul form — always the
+                # broadcast |x-q| scan path (no augmented layout)
                 self._vectors_aug = None
 
     # ------------------------------------------------------------- search

@@ -242,7 +242,10 @@ class HNSWIndex:
         # serving metric follows the arena. Graph CONSTRUCTION is L2-based;
         # for "cosine" the arena rows are unit vectors so L2 order == cosine
         # order (exact); for "ip" the L2 graph is a navigable proxy (pair
-        # with iterative/sampled_entry search for best recall)
+        # with iterative/sampled_entry search for best recall); for "l1"
+        # (pgvector <+>, hnsw vector_l1_ops) the L2 graph is likewise a
+        # proxy — L1 and L2 neighborhoods coincide closely in low-to-mid
+        # dimensions — while TRAVERSAL scores are true L1 distances
         self.metric = arena.metric
 
         if arena.host_vectors is not None:
@@ -655,8 +658,11 @@ class HNSWIndex:
                     jnp.linalg.norm(qb, axis=1, keepdims=True), 1e-30)
             x = jnp.take(vec, trows, axis=0).astype(jnp.float32)   # (S, d)
             nrm = jnp.take(norms, trows, axis=0)
-            dots = jnp.dot(qb, x.T, preferred_element_type=jnp.float32)
-            s = (nrm[None, :] - 2.0 * dots) if metric == "l2" else -dots
+            if metric == "l1":
+                s = jnp.sum(jnp.abs(x[None, :, :] - qb[:, None, :]), axis=-1)
+            else:
+                dots = jnp.dot(qb, x.T, preferred_element_type=jnp.float32)
+                s = (nrm[None, :] - 2.0 * dots) if metric == "l2" else -dots
             return jnp.take(ids, jnp.argmin(s, axis=1))   # LOCAL ids
 
         out = _nearest(jnp.asarray(q), self._vectors, self._norms,

@@ -47,6 +47,8 @@ class IVFIndex:
         self.query_batch = query_batch
         self.nprobe = nprobe
         self.metric = arena.metric
+        # pgvector parity: ivfflat ships l2/ip/cosine opclasses only
+        assert self.metric != "l1", "IVF has no l1 opclass (use flat/hnsw)"
 
         if arena.host_vectors is not None:
             host_vec = arena.host_vectors

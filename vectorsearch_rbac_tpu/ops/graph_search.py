@@ -76,8 +76,13 @@ def graph_beam_search(
         safe = _rows(ids)
         x = jnp.take(vectors, safe, axis=0)              # (Q, C, d)
         nrm = jnp.take(norms, safe, axis=0)              # (Q, C)
-        dots = jnp.einsum("qd,qcd->qc", qc, x, preferred_element_type=jnp.float32)
-        s = (nrm - 2.0 * dots) if metric == "l2" else -dots
+        if metric == "l1":   # pgvector <+>: no matmul form, VPU reduce
+            s = jnp.sum(jnp.abs(x.astype(jnp.float32) - q[:, None, :]),
+                        axis=-1)
+        else:
+            dots = jnp.einsum("qd,qcd->qc", qc, x,
+                              preferred_element_type=jnp.float32)
+            s = (nrm - 2.0 * dots) if metric == "l2" else -dots
         return jnp.where(ids >= 0, s, INF)
 
     def allowed(ids):
@@ -216,8 +221,13 @@ def graph_beam_search_filtered(
         safe = _rows(ids)
         x = jnp.take(vectors, safe, axis=0)
         nrm = jnp.take(norms, safe, axis=0)
-        dots = jnp.einsum("qd,qcd->qc", qc, x, preferred_element_type=jnp.float32)
-        s = (nrm - 2.0 * dots) if metric == "l2" else -dots
+        if metric == "l1":   # pgvector <+>: no matmul form, VPU reduce
+            s = jnp.sum(jnp.abs(x.astype(jnp.float32) - q[:, None, :]),
+                        axis=-1)
+        else:
+            dots = jnp.einsum("qd,qcd->qc", qc, x,
+                              preferred_element_type=jnp.float32)
+            s = (nrm - 2.0 * dots) if metric == "l2" else -dots
         return jnp.where(ids >= 0, s, INF)
 
     def allowed(ids):
@@ -418,8 +428,13 @@ def graph_beam_search_iterative(
         safe = _rows(ids)
         x = jnp.take(vectors, safe, axis=0)
         nrm = jnp.take(norms, safe, axis=0)
-        dots = jnp.einsum("qd,qcd->qc", qc, x, preferred_element_type=jnp.float32)
-        s = (nrm - 2.0 * dots) if metric == "l2" else -dots
+        if metric == "l1":   # pgvector <+>: no matmul form, VPU reduce
+            s = jnp.sum(jnp.abs(x.astype(jnp.float32) - q[:, None, :]),
+                        axis=-1)
+        else:
+            dots = jnp.einsum("qd,qcd->qc", qc, x,
+                              preferred_element_type=jnp.float32)
+            s = (nrm - 2.0 * dots) if metric == "l2" else -dots
         return jnp.where(ids >= 0, s, INF)
 
     def allowed(ids):

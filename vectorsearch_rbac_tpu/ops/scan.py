@@ -44,11 +44,15 @@ def masked_scan_topk(
     block_rows: int = 16384,
     mode: str = "exact",
     recall_target: float = 0.99,
-    metric: str = "l2",     # "l2" | "ip" | "cosine" — the pgvector operator
-                            # family (<-> / <#> / <=>, reference pgvector/
-                            # src/vector.c). "cosine" expects UNIT corpus
-                            # rows (core.build_device_arena normalizes at
-                            # ingest) and normalizes queries here.
+    metric: str = "l2",     # "l2" | "ip" | "cosine" | "l1" — the pgvector
+                            # operator family (<-> / <#> / <=> / <+>,
+                            # reference pgvector/src/vector.c). "cosine"
+                            # expects UNIT corpus rows (core.
+                            # build_device_arena normalizes at ingest) and
+                            # normalizes queries here. "l1" has no matmul
+                            # form: it runs the broadcast |x-q| reduce on
+                            # the VPU (XLA fuses sub/abs/sum into one pass
+                            # over each block — use smaller block_rows).
 ) -> Tuple[jax.Array, jax.Array]:
     """Return (dists (Q, k) ascending in the metric's distance — squared L2,
     negative inner product (pgvector <#>), or cosine distance 1-cos — and
@@ -78,14 +82,20 @@ def masked_scan_topk(
     def body(_, xs):
         xb, nb_, bb, off = xs
         # scores monotone in the metric's distance per query:
-        # l2: ||x||^2 - 2 q.x ; ip/cosine: -q.x
-        dots = jax.lax.dot_general(
-            qc, xb,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )
-        scores = (nb_[None, :] - 2.0 * dots) if metric == "l2" else -dots
+        # l2: ||x||^2 - 2 q.x ; ip/cosine: -q.x ; l1: sum |x - q|
+        if metric == "l1":
+            scores = jnp.sum(
+                jnp.abs(xb[None, :, :].astype(jnp.float32) - q[:, None, :]),
+                axis=-1,
+            )
+        else:
+            dots = jax.lax.dot_general(
+                qc, xb,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+            scores = (nb_[None, :] - 2.0 * dots) if metric == "l2" else -dots
         # fused RBAC check: any shared role bit between user mask and row bits
         hit = jnp.bitwise_and(query_masks[:, None, :], bb[None, :, :])
         allowed = jnp.any(hit != 0, axis=-1)
@@ -118,7 +128,7 @@ def masked_scan_topk(
         dists = jnp.maximum(vals + qn, 0.0)
     elif metric == "cosine":
         dists = jnp.clip(1.0 + vals, 0.0, 2.0)
-    else:
+    else:  # ip / l1: scores ARE the distances
         dists = vals
     dists = jnp.where(empty, INF, dists)
     idx = jnp.where(empty, -1, idx)
@@ -154,7 +164,10 @@ def masked_scan_topk_aug(
 ) -> Tuple[jax.Array, jax.Array]:
     """Augmented-layout scan: the squared-norm term rides inside the matmul
     (see core.augment_with_norms), removing a full (Q, N) elementwise pass.
-    Semantics identical to masked_scan_topk."""
+    Semantics identical to masked_scan_topk. "l1" has no matmul form and is
+    not supported here — core.build_device_arena skips the augmented layout
+    for l1 arenas, so callers fall through to masked_scan_topk."""
+    assert metric != "l1", "l1 has no augmented (matmul) form"
     q = queries.astype(jnp.float32)
     if metric == "cosine":
         q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-30)

@@ -72,6 +72,15 @@ def make_partition_index(
             query_batch=cfg.search.batch_size,
             seed=cfg.seed,
         )
+    if kind == "binary":
+        from ..index.binary import BinaryQuantIndex
+        return BinaryQuantIndex(
+            arena, rows,
+            query_batch=cfg.search.batch_size,
+            rerank_mult=cfg.index.binary_rerank_mult,
+            rerank=cfg.index.binary_rerank,
+            bit_metric=cfg.index.binary_bit_metric,
+        )
     if kind == "hnsw":
         from ..index.hnsw import HNSWIndex
         return HNSWIndex(

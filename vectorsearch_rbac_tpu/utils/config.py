@@ -43,6 +43,9 @@ class IndexConfig:
     reference controller/initialize_main_tables.py:109-113)."""
 
     kind: str = "flat"           # flat | flat_approx | ivf | hnsw | hybrid
+                                 # | binary (bit-packed hamming + rerank,
+                                 # the pgvector bit(d)/binary_quantize
+                                 # analog, index/binary.py)
     hnsw_m: int = 16
     hnsw_ef_construction: int = 64
     hnsw_m_beta: int = 0         # > 0: ACORN-gamma dense layer-0 lists of
@@ -61,6 +64,10 @@ class IndexConfig:
     # partition mode, shared_vector_table.h) and become batchable into
     # multi-partition slab dispatches (partition/graph_batch.py)
     hnsw_logical: bool = False
+    # binary (bit-packed) index knobs — index/binary.py
+    binary_rerank: bool = True       # exact rerank from the shared arena
+    binary_rerank_mult: int = 4      # candidate width = mult * k
+    binary_bit_metric: str = "hamming"   # "hamming" <~> | "jaccard" <%>
     # big-tier partitions (> big_chunks in the tiled engine) serve from
     # the SHARED arena via row-map gather instead of a contiguous int8
     # copy — the flat-scan analog of hnsw_logical. Trades a per-pass
