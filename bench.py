@@ -74,7 +74,29 @@ def main():
     log(f"device: {dev}")
 
     t0 = time.perf_counter()
-    corpus, query_pool = resolve_dataset(args.dataset, num_vectors=args.n, seed=args.seed)
+    # corpus disk cache: synthetic generation is ~2.5-4 min of host numpy
+    # on this 1-core box; the npz round-trip is ~10 s
+    import os
+
+    import numpy as np
+
+    from vectorsearch_rbac_tpu.core import Corpus
+    cache = f"artifacts/corpus_{args.dataset}_{args.n}_{args.seed}.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        corpus = Corpus(vectors=z["vectors"], doc_ids=z["doc_ids"],
+                        block_ids=z["block_ids"])
+        query_pool = z["query_pool"] if z["query_pool"].size else None
+        log(f"corpus cache hit: {cache}")
+    else:
+        corpus, query_pool = resolve_dataset(args.dataset, num_vectors=args.n,
+                                             seed=args.seed)
+        if args.dataset != "sift10m":  # 10M would be a 5 GB artifact
+            os.makedirs("artifacts", exist_ok=True)
+            np.savez(cache, vectors=corpus.vectors, doc_ids=corpus.doc_ids,
+                     block_ids=corpus.block_ids,
+                     query_pool=(query_pool if query_pool is not None
+                                 else np.zeros((0, corpus.dim), np.float32)))
     log(f"corpus: {corpus.n} x {corpus.dim} ({corpus.num_docs} docs) "
         f"in {time.perf_counter() - t0:.1f}s")
 
