@@ -51,7 +51,8 @@ def _bit_oracle(bits_a: np.ndarray, bits_b: np.ndarray, metric: str):
         return (bits_a[None, :] != bits_b).sum(axis=1).astype(np.float64)
     inter = (bits_a[None, :] & bits_b).sum(axis=1).astype(np.float64)
     union = (bits_a[None, :] | bits_b).sum(axis=1).astype(np.float64)
-    return np.where(union > 0, 1.0 - inter / np.maximum(union, 1), 0.0)
+    # pgvector bitutils.c: empty intersection -> distance 1
+    return np.where(inter > 0, 1.0 - inter / np.maximum(union, 1), 1.0)
 
 
 @pytest.mark.parametrize("metric", ["hamming", "jaccard"])

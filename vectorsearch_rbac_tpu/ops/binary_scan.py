@@ -13,8 +13,9 @@ is HBM-cheap even at 10M rows. Distances use the VPU's native
 `lax.population_count`:
 
 - hamming(a, b)  = sum_w popcount(a_w XOR b_w)
-- jaccard(a, b)  = 1 - |a AND b| / |a OR b|   (0 when both are empty,
-  matching pgvector's jaccard_distance NaN-guard semantics)
+- jaccard(a, b)  = 1 - |a AND b| / |a OR b|   (1 when the intersection is
+  empty — pgvector bitutils.c BitJaccardDistanceDefault returns 1 for
+  ab == 0, both-empty included)
 
 The per-word loop is unrolled over the (static, small) word axis so the
 largest live intermediate is one (Q, block) int32 plane — XLA fuses the
@@ -101,9 +102,12 @@ def masked_binary_topk(
                 union = union + jax.lax.population_count(
                     jnp.bitwise_or(qw, xw)).astype(jnp.int32)
             scores = jnp.where(
-                union > 0,
-                1.0 - inter.astype(jnp.float32) / union.astype(jnp.float32),
-                0.0,  # both empty: identical bit sets -> distance 0
+                inter > 0,
+                1.0 - inter.astype(jnp.float32)
+                / jnp.maximum(union, 1).astype(jnp.float32),
+                1.0,  # empty intersection -> distance 1 (reference
+                      # pgvector/src/bitutils.c BitJaccardDistanceDefault
+                      # `if (ab == 0) return 1`, both-empty included)
             )
         hit = jnp.bitwise_and(query_masks[:, None, :], rb[None, :, :])
         allowed = jnp.any(hit != 0, axis=-1)
