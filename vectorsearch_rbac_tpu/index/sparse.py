@@ -76,9 +76,13 @@ class SparseFlatIndex:
         # slice the CSR rows we serve, then pad to the block layout
         counts = np.diff(corpus.indptr)[sel]
         indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
-        take = np.concatenate(
-            [np.arange(corpus.indptr[r], corpus.indptr[r + 1])
-             for r in sel]) if len(sel) else np.empty(0, np.int64)
+        if len(sel):
+            # vectorized gather of the selected rows' nnz ranges
+            starts = corpus.indptr[sel].astype(np.int64)
+            take = np.repeat(starts - indptr[:-1], counts) + \
+                np.arange(indptr[-1], dtype=np.int64)
+        else:
+            take = np.empty(0, np.int64)
         indices = corpus.indices[take]
         data = corpus.data[take].astype(np.float32)
         if metric == "cosine":

@@ -65,10 +65,14 @@ def pad_sparse_rows(
     assert nnz_pad >= max_nnz, (nnz_pad, max_nnz)
     cols = np.full((npad, nnz_pad), dim, dtype=np.int32)
     vals = np.zeros((npad, nnz_pad), dtype=np.float32)
-    for i in range(n):
-        s, e = indptr[i], indptr[i + 1]
-        cols[i, : e - s] = indices[s:e]
-        vals[i, : e - s] = data[s:e]
+    if n:
+        # vectorized CSR -> padded: flat destination = row * nnz_pad + slot
+        rows_of = np.repeat(np.arange(n, dtype=np.int64), row_nnz)
+        slot = np.arange(len(indices), dtype=np.int64) - \
+            np.repeat(indptr[:-1].astype(np.int64), row_nnz)
+        dest = rows_of * nnz_pad + slot
+        cols.reshape(-1)[dest] = indices
+        vals.reshape(-1)[dest] = data
     return cols, vals, nnz_pad
 
 
@@ -78,8 +82,7 @@ def densify_queries(q_cols: np.ndarray, q_vals: np.ndarray,
     padding slot (column `dim`) forced to 0."""
     nq, _ = q_cols.shape
     qd = np.zeros((nq, dim + 1), dtype=np.float32)
-    for i in range(nq):
-        qd[i, q_cols[i]] = q_vals[i]
+    qd[np.arange(nq)[:, None], q_cols] = q_vals
     qd[:, dim] = 0.0
     return qd
 
