@@ -72,3 +72,71 @@ def test_ivf_storage(ivf_setup):
     _, _, _, idx = ivf_setup
     sb = idx.storage_bytes()
     assert sb["vectors"] > 0 and sb["index"] > 0
+
+
+def test_ivf_insert_rows(small_world, small_corpus):
+    """Online insert (pgvector ivfinsert.c analog): held-out rows become
+    findable after insert_rows; membership stays exact and unique."""
+    world, corpus = small_world, small_corpus
+    arena = build_device_arena(corpus, world, block_rows=128)
+    n0 = corpus.n - corpus.n // 4
+    idx = IVFIndex(arena, rows=np.arange(n0), nlist=12, nprobe=12,
+                   kmeans_iters=5, query_batch=16, seed=0)
+    new = np.arange(n0, corpus.n)
+
+    # a query AT a held-out vector, asked by a user who can see it
+    bits = np.asarray(arena.role_bits)[: corpus.n]
+    target = int(new[0])
+    users = [u for u in range(world.num_users)
+             if (bits[target] & world.user_masks[u]).any()]
+    q = corpus.vectors[target][None]
+    mask = world.user_masks[users[0]][None]
+    _, ids = idx.search(q, mask, k=5, nprobe=idx.nlist)
+    assert target not in set(int(x) for x in ids[0])
+
+    idx.insert_rows(arena, new)
+    assert idx.n_rows == corpus.n
+    rows = np.asarray(idx._inv_rows).ravel()
+    real = rows[rows >= 0]
+    assert len(real) == corpus.n and len(np.unique(real)) == corpus.n
+
+    _, ids = idx.search(q, mask, k=5, nprobe=idx.nlist)
+    assert int(ids[0][0]) == target
+
+
+def test_ivf_insert_growth_and_delete(small_world, small_corpus):
+    """Inserting past every list's padding grows L_pad (page-extend
+    analog); delete_rows frees slots that later inserts reuse."""
+    world, corpus = small_world, small_corpus
+    arena = build_device_arena(corpus, world, block_rows=128)
+    n0 = corpus.n // 2
+    idx = IVFIndex(arena, rows=np.arange(n0), nlist=8, nprobe=8,
+                   kmeans_iters=5, query_batch=16, seed=1,
+                   pad_quantile=0.5)  # tight padding -> forces growth
+    pad0 = idx.l_pad
+    idx.insert_rows(arena, np.arange(n0, corpus.n))
+    assert idx.l_pad > pad0
+    rows = np.asarray(idx._inv_rows).ravel()
+    real = rows[rows >= 0]
+    assert len(real) == corpus.n and len(np.unique(real)) == corpus.n
+
+    # delete a slice: gone from full-probe results, slots freed
+    dels = np.arange(0, corpus.n, 7)
+    ndel = idx.delete_rows(arena, dels)
+    assert ndel == len(dels)
+    assert idx.n_rows == corpus.n - ndel
+    rng = np.random.default_rng(5)
+    q = corpus.vectors[dels[:4]] + 0.0
+    masks = np.full((4, world.user_masks.shape[1]), 0xFFFFFFFF,
+                    dtype=np.uint32)
+    _, ids = idx.search(q, masks, k=10, nprobe=idx.nlist)
+    got = set(int(x) for x in ids.ravel() if x >= 0)
+    assert not (got & set(int(x) for x in dels))
+
+    # reinsert into freed slots: no growth needed
+    pad1 = idx.l_pad
+    idx.insert_rows(arena, dels)
+    assert idx.l_pad == pad1
+    rows = np.asarray(idx._inv_rows).ravel()
+    real = rows[rows >= 0]
+    assert len(real) == corpus.n and len(np.unique(real)) == corpus.n

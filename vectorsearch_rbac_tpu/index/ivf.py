@@ -177,6 +177,122 @@ class IVFIndex:
             out_i[s:e] = np.asarray(i)[: e - s]
         return out_d, out_i
 
+    # -------------------------------------------------------- maintenance
+
+    def insert_rows(self, arena: DeviceArena, new_rows: np.ndarray) -> None:
+        """Online insert — the pgvector IVFFlat insert analog (reference
+        pgvector/src/ivfinsert.c: each new tuple is appended to its nearest
+        centroid's list; centroids are never retrained). Lists here are
+        padded device slabs, so inserts fill free slots (padding or
+        previously deleted) and the slabs re-upload once per call:
+
+        - each new row goes to its nearest centroid with a free slot
+          (same spill rule as the build);
+        - if every list on a row's preference order is full, L_pad grows
+          once (×1.25) and the slabs re-pad — the analog of pgvector
+          extending a list onto a fresh page.
+        """
+        import jax
+
+        new_rows = np.asarray(new_rows, dtype=np.int64)
+        if new_rows.size == 0:
+            return
+        if arena.host_vectors is not None:
+            vec = arena.host_vectors[new_rows].astype(np.float32)
+            norm = arena.host_norms[new_rows]
+            bits = arena.host_bits[new_rows]
+        else:
+            vec = np.asarray(arena.vectors, dtype=np.float32)[new_rows]
+            norm = np.asarray(arena.norms)[new_rows]
+            bits = np.asarray(arena.role_bits)[new_rows]
+
+        inv_vec = np.array(self._inv_vectors, dtype=np.float32)
+        inv_norm = np.array(self._inv_norms)
+        inv_bits = np.array(self._inv_bits)
+        inv_rows = np.array(self._inv_rows)
+        cent_np = np.asarray(self._centroids, dtype=np.float32)
+
+        # full preference order per new row (nearest centroid first)
+        cd = (
+            np.einsum("nd,nd->n", vec, vec)[:, None]
+            - 2.0 * vec @ cent_np.T
+            + np.einsum("cd,cd->c", cent_np, cent_np)[None, :]
+        )
+        order = np.argsort(cd, axis=1)
+        free: list[list[int]] = [
+            np.flatnonzero(inv_rows[c] < 0).tolist() for c in range(self.nlist)
+        ]
+        placements: list[tuple[int, int, int]] = []  # (list, slot, new idx)
+        grow = 0
+        for j in range(len(new_rows)):
+            placed = False
+            for c in order[j]:
+                if free[int(c)]:
+                    placements.append((int(c), free[int(c)].pop(0), j))
+                    placed = True
+                    break
+            if not placed:
+                grow += 1
+                placements.append((int(order[j, 0]), -1, j))
+        if grow:
+            old_pad = self.l_pad
+            need = int(np.max(np.bincount(
+                [c for c, s, _ in placements if s < 0], minlength=self.nlist)))
+            new_pad = max(int(old_pad * 1.25) + 8, old_pad + need)
+            new_pad = int(math.ceil(new_pad / 8) * 8)
+            pad = new_pad - old_pad
+            inv_vec = np.pad(inv_vec, ((0, 0), (0, pad), (0, 0)))
+            inv_norm = np.pad(inv_norm, ((0, 0), (0, pad)))
+            inv_bits = np.pad(inv_bits, ((0, 0), (0, pad), (0, 0)))
+            inv_rows = np.pad(inv_rows, ((0, 0), (0, pad)),
+                              constant_values=-1)
+            nxt = [old_pad] * self.nlist
+            fixed = []
+            for c, s, j in placements:
+                if s < 0:
+                    s = nxt[c]
+                    nxt[c] += 1
+                fixed.append((c, s, j))
+            placements = fixed
+            self.l_pad = new_pad
+            logger.info("IVF insert grew L_pad %d -> %d", old_pad, new_pad)
+
+        for c, s, j in placements:
+            inv_vec[c, s] = vec[j]
+            inv_norm[c, s] = norm[j]
+            inv_bits[c, s] = bits[j]
+            inv_rows[c, s] = int(new_rows[j])
+
+        compute_dtype = self._inv_vectors.dtype
+        self._inv_vectors = jax.device_put(inv_vec.astype(compute_dtype))
+        self._inv_norms = jax.device_put(inv_norm)
+        self._inv_bits = jax.device_put(inv_bits)
+        self._inv_rows = jax.device_put(inv_rows)
+        self.n_rows += len(new_rows)
+
+    def delete_rows(self, arena: DeviceArena, rows: np.ndarray) -> int:
+        """Row-level delete — the pgvector IVFFlat vacuum analog (reference
+        pgvector/src/ivfvacuum.c: dead tuples leave their list pages; lists
+        themselves persist). Slots free (row -1, zero bits) and are reused
+        by later insert_rows; pair with core.tombstone_rows so arena-backed
+        paths agree. Returns the number of rows deleted."""
+        import jax
+
+        rows = np.asarray(rows, dtype=np.int64)
+        inv_rows = np.asarray(self._inv_rows)
+        hit = np.isin(inv_rows, rows.astype(np.int32)) & (inv_rows >= 0)
+        ndel = int(hit.sum())
+        if not ndel:
+            return 0
+        inv_bits = np.array(self._inv_bits)
+        inv_rows = inv_rows.copy()
+        inv_rows[hit] = -1
+        inv_bits[hit] = 0
+        self._inv_rows = jax.device_put(inv_rows)
+        self._inv_bits = jax.device_put(inv_bits)
+        self.n_rows -= ndel
+        return ndel
+
     # ------------------------------------------------------------ storage
 
     def storage_bytes(self) -> Dict[str, int]:
