@@ -1,0 +1,236 @@
+#!/usr/bin/env python
+"""Render the committed JSON artifacts as matplotlib figures (PDF).
+
+The reference emits matplotlib plots from its model-validation and
+parameter-fitting suites (reference
+controller/dynamic_partition/hnsw/analysis/analysis_hnsw_recall.py:440-479
+fit PDFs; controller/dynamic_partition/hnsw/validate/plot_*.py). This is
+the same surface for the TPU rebuild: every figure is derived from a
+committed results/*.json artifact, so the plots are reproducible from the
+repo alone (no TPU needed).
+
+Usage:  python scripts/plot_artifacts.py [--out results/plots]
+
+Figures (each skipped silently if its artifact is absent):
+  model_validation.pdf        predicted-vs-measured HNSW recall (grid cells)
+  ivf_coverage_validation.pdf IVF coverage-model recall vs nprobe
+  strategy_compare.pdf        5-strategy QPS vs the reference CPU numbers
+  qdtree_margin.pdf           qd-tree routing margin sweep (recall / QPS)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+# validated reference palette (dataviz skill references/palette.md, light mode)
+C1, C2, C3, C4, C5 = "#2a78d6", "#eb6834", "#1baf7a", "#eda100", "#e87ba4"
+INK, INK2, GRID = "#0b0b0b", "#52514e", "#e6e5e2"
+SURFACE = "#fcfcfb"
+
+plt.rcParams.update({
+    "figure.facecolor": SURFACE,
+    "axes.facecolor": SURFACE,
+    "axes.edgecolor": INK2,
+    "axes.labelcolor": INK,
+    "text.color": INK,
+    "xtick.color": INK2,
+    "ytick.color": INK2,
+    "axes.grid": True,
+    "grid.color": GRID,
+    "grid.linewidth": 0.6,
+    "axes.spines.top": False,
+    "axes.spines.right": False,
+    "font.size": 9,
+    "legend.frameon": False,
+})
+
+RESULTS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "results")
+
+
+def _load(name):
+    path = os.path.join(RESULTS, name)
+    if not os.path.isfile(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def plot_model_validation(out_dir: str) -> str | None:
+    """Predicted vs measured recall over the (n, sel, ef) grid — the analog
+    of the reference's modelrecall_vs_realrecall plots. Scatter shows BOTH
+    families: the reference piecewise form and the shipping TPU family
+    (models/cost.py) fitted on the same grid."""
+    art = _load("model_validation_tpu_family.json")
+    ref_art = _load("model_validation.json")
+    if art is None:
+        art, ref_art = ref_art, None
+    if art is None:
+        return None
+    cells = art["cells"]
+    fig, (ax, ax2) = plt.subplots(1, 2, figsize=(8.4, 3.4))
+
+    # left: identity scatter, one hue per model family (identity job)
+    if ref_art is not None:
+        for c in ref_art["cells"]:
+            ax.plot(c["measured_recall"], c["predicted_recall"], "o",
+                    color="#b9b7b0", markersize=4, alpha=0.7,
+                    markeredgecolor="none")
+    for c in cells:
+        ax.plot(c["measured_recall"], c["predicted_recall"], "o",
+                color=C1, markersize=4, alpha=0.75, markeredgecolor="none")
+    ax.plot([0, 1], [0, 1], "-", color=INK2, linewidth=1)
+    ax.set_xlabel("measured recall")
+    ax.set_ylabel("predicted recall")
+    title = f"Recall model — TPU family MAE {art['recall_mae']:.3f}"
+    if ref_art is not None:
+        title += f" (gray: reference family, {ref_art['recall_mae']:.3f})"
+    ax.set_title(title, fontsize=8.5, color=INK)
+    ax.set_xlim(0, 1.02)
+    ax.set_ylim(0, 1.02)
+
+    # right: recall-vs-ef curves for the largest n, colored by selectivity
+    # (categorical identity, fixed slot order)
+    n_max = max(c["n"] for c in cells)
+    big = sorted([c for c in cells if c["n"] == n_max], key=lambda c: c["sel"])
+    colors = [C1, C2, C3, C4, C5]
+    for c, col in zip(big[:5], colors):
+        ax2.plot(c["efs"], c["measured_recall"], "o", color=col, markersize=4,
+                 markeredgecolor="none")
+        ax2.plot(c["efs"], c["predicted_recall"], "-", color=col, linewidth=2,
+                 label=f"sel {c['sel']:.3f}")
+    ax2.set_xscale("log")
+    ax2.set_xlabel("ef_search")
+    ax2.set_ylabel("recall")
+    ax2.set_title(f"n={n_max:,}: dots measured, lines model", fontsize=9)
+    ax2.legend(fontsize=7, loc="lower right")
+    fig.tight_layout()
+    path = os.path.join(out_dir, "model_validation.pdf")
+    fig.savefig(path)
+    plt.close(fig)
+    return path
+
+
+def plot_ivf_coverage(out_dir: str) -> str | None:
+    art = _load("ivf_coverage_validation_1m.json")
+    if art is None:
+        return None
+    cells = sorted(art["cells"], key=lambda c: (c["n"], c["sel"]))
+    fig, ax = plt.subplots(figsize=(5.2, 3.4))
+    colors = [C1, C2, C3, C4, C5, "#008300", "#4a3aa7", "#52514e"]
+    for c, col in zip(cells[:8], colors):
+        lbl = f"n={c['n']:,} sel={c['sel']:.3f}"
+        ax.plot(c["nprobes"], c["measured_recall"], "o", color=col,
+                markersize=4, markeredgecolor="none")
+        ax.plot(c["nprobes"], c["predicted_recall"], "-", color=col,
+                linewidth=1.8, label=lbl)
+    ax.set_xscale("log")
+    ax.set_xlabel("nprobe")
+    ax.set_ylabel("recall")
+    ax.set_title(
+        f"IVF coverage recall model — held-out MAE {art['heldout_recall_mae']:.4f}"
+        f" (HNSW-family bar {art['hnsw_family_reference_mae']:.3f})",
+        fontsize=8)
+    ax.legend(fontsize=6, ncol=2, loc="lower right")
+    fig.tight_layout()
+    path = os.path.join(out_dir, "ivf_coverage_validation.pdf")
+    fig.savefig(path)
+    plt.close(fig)
+    return path
+
+
+# best committed reference CPU numbers per strategy (BASELINE.md implied QPS;
+# RLS -> physical postfilter, ROLE -> physical role partition, USER has no
+# direct C++ twin (role is the closest), dynamic -> physical dynamic)
+REF_QPS = {"rls": 630.0, "role": 8470.0, "user": 8470.0,
+           "dynamic": 3268.0, "qdtree": 90.9}
+REF_NOTE = {"rls": "physical postfilter ef=500",
+            "role": "physical role partition ef=30",
+            "user": "(role partition twin)",
+            "dynamic": "physical dynamic ef=70",
+            "qdtree": "HQI qd-tree efs=10 (driver op point)"}
+
+
+def plot_strategy_compare(out_dir: str) -> str | None:
+    art = _load("strategy_compare_1m_r3.json")
+    if art is None:
+        return None
+    names = [k for k in ("rls", "role", "user", "dynamic", "qdtree") if k in art]
+    fig, ax = plt.subplots(figsize=(6.4, 3.2))
+    y = range(len(names))
+    ours = [art[n]["qps"] for n in names]
+    ref = [REF_QPS.get(n) for n in names]
+    ax.barh([i + 0.19 for i in y], ours, height=0.34, color=C1,
+            label="this framework (TPU v5e, 1 chip)")
+    ax.barh([i - 0.19 for i in y], ref, height=0.34, color="#b9b7b0",
+            label="reference (CPU, best committed)")
+    for i, n in enumerate(names):
+        ax.text(ours[i] * 1.06, i + 0.19, f"{ours[i]:,.0f}  r={art[n]['recall_at_10']:.3f}",
+                va="center", fontsize=7, color=INK)
+        ax.text(ref[i] * 1.06, i - 0.19, f"{ref[i]:,.0f}", va="center",
+                fontsize=7, color=INK2)
+    ax.set_xscale("log")
+    ax.set_yticks(list(y))
+    ax.set_yticklabels([n.upper() for n in names])
+    ax.set_xlabel("QPS (log scale) — 1M vectors, RBAC-filtered, top-10")
+    ax.set_title("Strategy compare at shipping defaults", fontsize=9)
+    ax.legend(fontsize=7, loc="lower right")
+    ax.grid(axis="y", visible=False)
+    fig.tight_layout()
+    path = os.path.join(out_dir, "strategy_compare.pdf")
+    fig.savefig(path)
+    plt.close(fig)
+    return path
+
+
+def plot_qdtree_margin(out_dir: str) -> str | None:
+    art = _load("qdtree_margin_sweep_1m.json")
+    if art is None:
+        return None
+    margins = sorted(art.keys(), key=float)
+    rec = [art[m]["recall_at_10"] for m in margins]
+    qps = [art[m]["qps"] for m in margins]
+    # two measures of different scale -> two stacked charts, one axis each
+    fig, (ax, ax2) = plt.subplots(2, 1, figsize=(4.6, 4.2), sharex=True)
+    xs = [float(m) for m in margins]
+    ax.plot(xs, rec, "-o", color=C1, linewidth=2, markersize=5,
+            markeredgecolor="none")
+    ax.set_ylabel("recall@10")
+    ax.set_title("qd-tree centroid-routing margin sweep (1M)", fontsize=9)
+    ax2.plot(xs, qps, "-o", color=C2, linewidth=2, markersize=5,
+             markeredgecolor="none")
+    ax2.set_ylabel("QPS")
+    ax2.set_xlabel("prune margin (fraction of best centroid distance)")
+    fig.tight_layout()
+    path = os.path.join(out_dir, "qdtree_margin.pdf")
+    fig.savefig(path)
+    plt.close(fig)
+    return path
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="results/plots")
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+    made = [p for p in (
+        plot_model_validation(args.out),
+        plot_ivf_coverage(args.out),
+        plot_strategy_compare(args.out),
+        plot_qdtree_margin(args.out),
+    ) if p]
+    for p in made:
+        print(p)
+    if not made:
+        print("no artifacts found under results/")
+
+
+if __name__ == "__main__":
+    main()
