@@ -121,19 +121,17 @@ def cmd_generate_queries(args) -> None:
     logger.info("wrote %d queries (topk=%d)", wl.num_queries, args.topk)
 
 
-def cmd_plan_dynamic(args) -> None:
-    """Replaces AnonySys_dynamic_partition.py __main__ (--storage alpha,
-    --recall r; cached fitted params analog = --params json)."""
+def _planner_inputs(args, state, world, corpus, *, alpha: float, topk: int,
+                    recall=None):
+    """PlannerInputs from artifacts: fitted params + workload weights when
+    cached (the reference's parameter_hnsw.json / query-weight reuse,
+    AnonySys_dynamic_partition.py:69-112,795-832)."""
     from .bench.queries import QueryWorkload
     from .models.cost import CostModelParams
     from .partition.dynamic import (
-        PlannerInputs, comb_weights_from_workload, plan_dynamic_partitions,
+        PlannerInputs, comb_weights_from_workload,
         single_role_weights_from_workload,
     )
-
-    state = _load_state(args)
-    world = state["world"]
-    corpus = _corpus_from_state(state)
 
     params = CostModelParams()
     for name in ("parameter_hnsw.json", "parameter_ivf.json",
@@ -154,19 +152,196 @@ def cmd_plan_dynamic(args) -> None:
         comb_w = world.comb_weights
         single_w = {r: 1.0 / max(world.num_roles, 1) for r in range(world.num_roles)}
 
-    inputs = PlannerInputs(
+    return PlannerInputs(
         role_to_docs=world.role_to_docs, combs=world.combs,
         comb_weights=comb_w, single_role_weights=single_w,
-        params=params, alpha=args.storage, topk=args.topk,
-        target_recall=args.recall,
+        params=params, alpha=alpha, topk=topk,
+        target_recall=recall,
         avg_blocks_per_doc=corpus.avg_blocks_per_doc,
     )
+
+
+def cmd_plan_dynamic(args) -> None:
+    """Replaces AnonySys_dynamic_partition.py __main__ (--storage alpha,
+    --recall r; cached fitted params analog = --params json)."""
+    from .partition.dynamic import plan_dynamic_partitions
+
+    state = _load_state(args)
+    world = state["world"]
+    corpus = _corpus_from_state(state)
+    inputs = _planner_inputs(args, state, world, corpus, alpha=args.storage,
+                             topk=args.topk, recall=args.recall)
     t0 = time.perf_counter()
     plan = plan_dynamic_partitions(world, inputs)
     with open(_art(args, "dynamic_plan.pkl"), "wb") as f:
         pickle.dump(plan, f)
     logger.info("planned %d partitions in %.1fs (alpha=%.2f)",
                 len(plan.assignment), time.perf_counter() - t0, args.storage)
+
+
+def _backup_artifact(args, name: str) -> None:
+    """Snapshot an artifact before a maintenance mutation (the reference's
+    pg_dump backup around insertion/deletion experiments,
+    insertion_rolllback.py:5 / deletion_rolllback.py:5-42)."""
+    import shutil
+
+    path = _art(args, name)
+    if os.path.exists(path):
+        shutil.copyfile(path, path + ".bak")
+
+
+def _clear_gt_cache(args) -> None:
+    for f in os.listdir(args.artifacts):
+        if f.startswith("gt_"):
+            os.remove(os.path.join(args.artifacts, f))
+
+
+def cmd_insert_role(args) -> None:
+    """Online role insertion experiment (reference insertion.py __main__:
+    new role samples ~1/num_roles of each existing role's documents,
+    insertion.py:507-513, then insert_new_role picks the argmin-cost
+    partition and update_database_for_new_role persists). Backs up
+    state.pkl/dynamic_plan.pkl first; `rollback` restores them."""
+    from .partition.dynamic import insert_role
+    from .rbac.world import RBACWorld
+
+    state = _load_state(args)
+    world = state["world"]
+    corpus = _corpus_from_state(state)
+    pfile = _art(args, "dynamic_plan.pkl")
+    if not os.path.exists(pfile):
+        raise SystemExit("insert-role requires a dynamic plan: run "
+                         "plan-dynamic first")
+    with open(pfile, "rb") as f:
+        plan = pickle.load(f)
+
+    rng = np.random.default_rng(args.seed)
+    new_role = world.num_roles
+    if args.docs > 0:
+        pool = np.arange(world.num_docs)
+        new_docs = set(int(d) for d in rng.choice(
+            pool, size=min(args.docs, world.num_docs), replace=False))
+    else:
+        # reference sampling: ratio = 1/num_roles of every existing role's
+        # documents (insertion.py:507-513; 5% floor only when no roles)
+        ratio = 1.0 / world.num_roles if world.num_roles > 0 else 0.05
+        new_docs = set()
+        for docs in world.role_to_docs.values():
+            docs = np.fromiter(docs, dtype=np.int64, count=len(docs))
+            take = max(1, int(len(docs) * ratio))
+            new_docs.update(int(d) for d in rng.choice(
+                docs, size=min(take, len(docs)), replace=False))
+
+    n_assign = args.assign_users if args.assign_users > 0 else max(
+        1, world.num_users // 100)
+    assignees = rng.choice(world.num_users, size=min(n_assign, world.num_users),
+                           replace=False)
+    u2r = dict(world.user_to_roles)
+    for u in assignees:
+        u = int(u)
+        u2r[u] = tuple(sorted(set(u2r.get(u, ())) | {new_role}))
+    r2d = dict(world.role_to_docs)
+    r2d[new_role] = frozenset(new_docs)
+    new_world = RBACWorld(num_users=world.num_users,
+                          num_roles=world.num_roles + 1,
+                          num_docs=world.num_docs,
+                          user_to_roles=u2r, role_to_docs=r2d)
+
+    inputs = _planner_inputs(args, state, new_world, corpus,
+                             alpha=args.storage, topk=args.topk)
+    combs_with_role = {c for c in new_world.combs if new_role in c}
+    combs_with_role.add((new_role,))
+
+    _backup_artifact(args, "state.pkl")
+    _backup_artifact(args, "dynamic_plan.pkl")
+    plan2, pid = insert_role(plan, inputs, new_role, new_docs,
+                             combs_with_role=combs_with_role)
+    with open(pfile, "wb") as f:
+        pickle.dump(plan2, f)
+    state["world"] = new_world
+    with open(_art(args, "state.pkl"), "wb") as f:
+        pickle.dump(state, f)
+    _clear_gt_cache(args)  # user masks changed
+    logger.info("inserted role %d (%d docs, %d users) into partition %d; "
+                "rollback with the `rollback` subcommand",
+                new_role, len(new_docs), len(assignees), pid)
+    print(json.dumps({"new_role": new_role, "num_docs": len(new_docs),
+                      "assigned_users": len(assignees), "partition": pid,
+                      "num_partitions": len(plan2.assignment)}))
+
+
+def cmd_delete_role(args) -> None:
+    """Online role deletion experiment (reference deletion.py
+    delete_role_and_related_data:8-80: cascade user/permission/mapping
+    removal + per-partition doc pruning). Documents readable only via the
+    deleted role are recorded in state as tombstoned: `test` zeroes their
+    rows' role bits in the arena (core.tombstone_rows — the analog of the
+    reference dropping the role's rows with its table)."""
+    from .partition.dynamic import delete_role
+    from .partition.dynamic.maintenance import orphaned_docs_after_role_delete
+    from .rbac.world import RBACWorld
+
+    state = _load_state(args)
+    world = state["world"]
+    corpus = _corpus_from_state(state)
+    role = args.role
+    if role not in world.role_to_docs:
+        raise SystemExit(f"role {role} does not exist")
+    pfile = _art(args, "dynamic_plan.pkl")
+    if not os.path.exists(pfile):
+        raise SystemExit("delete-role requires a dynamic plan: run "
+                         "plan-dynamic first")
+    with open(pfile, "rb") as f:
+        plan = pickle.load(f)
+
+    orphaned = orphaned_docs_after_role_delete(world, role)
+    u2r = {}
+    for u, roles in world.user_to_roles.items():
+        u2r[u] = tuple(r for r in roles if r != role)
+    r2d = {r: d for r, d in world.role_to_docs.items() if r != role}
+    # role ids stay positional (the reference keeps ids sparse after
+    # DELETE FROM Roles); num_roles is unchanged so mask widths hold
+    new_world = RBACWorld(num_users=world.num_users, num_roles=world.num_roles,
+                          num_docs=world.num_docs,
+                          user_to_roles=u2r, role_to_docs=r2d)
+
+    inputs = _planner_inputs(args, state, new_world, corpus,
+                             alpha=args.storage, topk=args.topk)
+
+    _backup_artifact(args, "state.pkl")
+    _backup_artifact(args, "dynamic_plan.pkl")
+    plan2 = delete_role(plan, inputs, role)
+    with open(pfile, "wb") as f:
+        pickle.dump(plan2, f)
+    state["world"] = new_world
+    tomb = set(state.get("tombstoned_docs", ())) | orphaned
+    state["tombstoned_docs"] = sorted(tomb)
+    with open(_art(args, "state.pkl"), "wb") as f:
+        pickle.dump(state, f)
+    _clear_gt_cache(args)
+    logger.info("deleted role %d: %d partitions remain, %d docs orphaned "
+                "(tombstoned at serve time); rollback with `rollback`",
+                role, len(plan2.assignment), len(orphaned))
+    print(json.dumps({"deleted_role": role, "orphaned_docs": len(orphaned),
+                      "num_partitions": len(plan2.assignment)}))
+
+
+def cmd_rollback(args) -> None:
+    """Restore state.pkl + dynamic_plan.pkl from the pre-maintenance
+    snapshots (reference {insertion,deletion}_rolllback.py: dropdb +
+    pg_restore of the pre-experiment dump)."""
+    import shutil
+
+    restored = []
+    for name in ("state.pkl", "dynamic_plan.pkl"):
+        bak = _art(args, name) + ".bak"
+        if os.path.exists(bak):
+            shutil.copyfile(bak, _art(args, name))
+            restored.append(name)
+    if not restored:
+        raise SystemExit("no .bak snapshots found — nothing to roll back")
+    _clear_gt_cache(args)
+    logger.info("rolled back: %s", ", ".join(restored))
 
 
 def cmd_fit_params(args) -> None:
@@ -347,9 +522,25 @@ def cmd_test(args) -> None:
 
     arena = build_device_arena(corpus, world, block_rows=cfg.search.block_rows,
                                dtype=args.dtype, metric=args.metric)
+    if state.get("tombstoned_docs"):
+        # rows orphaned by delete-role: zero their role bits so every scan,
+        # kernel, and graph admissibility check rejects them (pgvector's
+        # deleted-until-VACUUM semantics, hnswvacuum.c)
+        from .core import tombstone_rows
+
+        rows = corpus.rows_for_docs(
+            np.asarray(state["tombstoned_docs"], dtype=np.int64))
+        arena = tombstone_rows(arena, rows)
+        logger.info("tombstoned %d rows of %d orphaned docs",
+                    len(rows), len(state["tombstoned_docs"]))
     gt_arena = arena if args.dtype == "float32" else build_device_arena(
         corpus, world, block_rows=cfg.search.block_rows, dtype="float32",
         metric=args.metric)
+    if state.get("tombstoned_docs") and gt_arena is not arena:
+        from .core import tombstone_rows
+
+        gt_arena = tombstone_rows(gt_arena, corpus.rows_for_docs(
+            np.asarray(state["tombstoned_docs"], dtype=np.int64)))
     oracle = GroundTruthOracle(gt_arena, cache_dir=args.artifacts,
                                block_rows=cfg.search.block_rows)
 
@@ -439,6 +630,29 @@ def main(argv=None) -> None:
     sd.add_argument("--recall", type=float, default=None)
     sd.add_argument("--topk", type=int, default=10)
     sd.set_defaults(fn=cmd_plan_dynamic)
+
+    si = sub.add_parser("insert-role", help="online role insertion "
+                        "experiment (reference insertion.py)")
+    si.add_argument("--docs", type=int, default=0, metavar="N",
+                    help="explicit new-role doc count (default: reference "
+                    "sampling, 1/num_roles of each role's docs)")
+    si.add_argument("--assign-users", type=int, default=0, metavar="K",
+                    help="users granted the new role (default num_users/100)")
+    si.add_argument("--storage", type=float, default=1.5)
+    si.add_argument("--topk", type=int, default=10)
+    si.add_argument("--seed", type=int, default=0)
+    si.set_defaults(fn=cmd_insert_role)
+
+    sx = sub.add_parser("delete-role", help="online role deletion "
+                        "experiment (reference deletion.py)")
+    sx.add_argument("--role", type=int, required=True)
+    sx.add_argument("--storage", type=float, default=1.5)
+    sx.add_argument("--topk", type=int, default=10)
+    sx.set_defaults(fn=cmd_delete_role)
+
+    sr = sub.add_parser("rollback", help="restore pre-maintenance snapshots "
+                        "(reference {insertion,deletion}_rolllback.py)")
+    sr.set_defaults(fn=cmd_rollback)
 
     sf = sub.add_parser("fit-params")
     sf.add_argument("--index", default="hnsw", choices=["hnsw", "ivf"])
