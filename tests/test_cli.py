@@ -135,3 +135,26 @@ def test_cli_maintenance_roundtrip(tmp_path):
     assert st3["world"].num_roles == world1.num_roles
     assert victim in st3["world"].role_to_docs
     assert load("dynamic_plan.pkl").assignment.keys() == plan1.assignment.keys()
+
+
+def test_cli_compute_ground_truth(tmp_path):
+    art = str(tmp_path)
+    base = ["--artifacts", art]
+    main(base + ["prepare", "--dataset", "synthetic", "--n", "1500",
+                 "--generator", "tree", "--num-roles", "8",
+                 "--num-users", "30", "--seed", "6"])
+    main(base + ["generate-queries", "--num-queries", "10", "--topk", "4"])
+    main(base + ["compute-ground-truth", "--topk", "4",
+                 "--block-rows", "512"])
+    out = os.path.join(art, "ground_truth_cache.json")
+    with open(out) as f:
+        gt = json.load(f)
+    assert gt["topk"] == 4 and gt["num_queries"] == 10
+    assert len(gt["results"]) == 10
+    assert all(len(row) == 4 for row in gt["results"])
+    # pointer entries are (doc, block) pairs within corpus bounds
+    for row in gt["results"]:
+        for doc, blk in row:
+            assert doc >= -1 and blk >= -1
+    # the npy cache primes `test`: a subsequent run hits it
+    assert any(f.startswith("gt_") for f in os.listdir(art))

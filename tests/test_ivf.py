@@ -140,3 +140,38 @@ def test_ivf_insert_growth_and_delete(small_world, small_corpus):
     rows = np.asarray(idx._inv_rows).ravel()
     real = rows[rows >= 0]
     assert len(real) == corpus.n and len(np.unique(real)) == corpus.n
+
+
+def test_ivf_iterative_scan(ivf_setup):
+    """ivfflat.iterative_scan analog (reference pgvector/src/ivfscan.c:257,
+    ivfflat.c ivfflat.max_probes): a low-selectivity query that fills fewer
+    than k admissible slots at the base nprobe re-probes with a doubled
+    budget until satisfied or max_probes; at max_probes == nlist it must
+    recover ALL admissible rows (exact within the inverted file)."""
+    world, corpus, arena, idx = ivf_setup
+    rng = np.random.default_rng(7)
+    q = rng.standard_normal((8, corpus.dim)).astype(np.float32)
+    users = rng.integers(0, world.num_users, 8)
+    masks = world.user_masks[users]
+    k = 10
+
+    d0, i0 = idx.search(q, masks, k=k, nprobe=1)
+    d1, i1 = idx.search(q, masks, k=k, nprobe=1, iterative=True)
+    d2, i2 = idx.search(q, masks, k=k, nprobe=idx.nlist)
+
+    n0 = (i0 >= 0).sum()
+    n1 = (i1 >= 0).sum()
+    assert n1 >= n0  # iterative never returns fewer results
+    # every query that CAN fill k does so after iteration
+    np.testing.assert_array_equal((i1 >= 0).sum(axis=1),
+                                  (i2 >= 0).sum(axis=1))
+    # results remain admissible
+    bits = np.asarray(arena.role_bits)
+    for qi in range(8):
+        for rid in i1[qi]:
+            if rid >= 0:
+                assert (bits[rid] & masks[qi]).any()
+    # a max_probes cap below nlist bounds the expansion
+    _, icap = idx.search(q, masks, k=k, nprobe=1, iterative=True,
+                         max_probes=2)
+    assert (icap >= 0).sum() <= n1

@@ -326,6 +326,49 @@ def cmd_delete_role(args) -> None:
                       "num_partitions": len(plan2.assignment)}))
 
 
+def cmd_compute_ground_truth(args) -> None:
+    """Precompute + cache exact ground truth for the query dataset
+    (reference basic_benchmark/compute_ground_truth.py: batch exact kNN
+    into ground_truth_cache.json, plus the pointer-style (doc, block)
+    form, compute_ground_truth.py:35 to_pointer_results)."""
+    from .bench import GroundTruthOracle
+    from .bench.queries import QueryWorkload
+    from .core import build_device_arena
+
+    state = _load_state(args)
+    world = state["world"]
+    corpus = _corpus_from_state(state)
+    qfile = _art(args, "query_dataset.json")
+    if not os.path.exists(qfile):
+        raise SystemExit("no query_dataset.json: run generate-queries first")
+    wl = QueryWorkload.load_json(qfile)
+
+    arena = build_device_arena(corpus, world, block_rows=args.block_rows,
+                               dtype="float32")
+    if state.get("tombstoned_docs"):
+        from .core import tombstone_rows
+
+        arena = tombstone_rows(arena, corpus.rows_for_docs(
+            np.asarray(state["tombstoned_docs"], dtype=np.int64)))
+    oracle = GroundTruthOracle(arena, cache_dir=args.artifacts,
+                               block_rows=args.block_rows)
+    t0 = time.perf_counter()
+    idx = oracle.compute(corpus, world, wl, args.topk)
+    dt = time.perf_counter() - t0
+    # pointer-style results: arena row -> (doc_id, block_id), -1 pads kept
+    pointer = [
+        [[int(corpus.doc_ids[r]), int(corpus.block_ids[r])] if r >= 0
+         else [-1, -1] for r in row]
+        for row in np.asarray(idx)
+    ]
+    out = _art(args, "ground_truth_cache.json")
+    with open(out, "w") as f:
+        json.dump({"topk": args.topk, "num_queries": int(idx.shape[0]),
+                   "results": pointer}, f)
+    logger.info("ground truth for %d queries (top-%d) in %.1fs -> %s",
+                idx.shape[0], args.topk, dt, out)
+
+
 def cmd_rollback(args) -> None:
     """Restore state.pkl + dynamic_plan.pkl from the pre-maintenance
     snapshots (reference {insertion,deletion}_rolllback.py: dropdb +
@@ -653,6 +696,13 @@ def main(argv=None) -> None:
     sr = sub.add_parser("rollback", help="restore pre-maintenance snapshots "
                         "(reference {insertion,deletion}_rolllback.py)")
     sr.set_defaults(fn=cmd_rollback)
+
+    sg = sub.add_parser("compute-ground-truth", help="precompute + cache "
+                        "exact ground truth (reference "
+                        "compute_ground_truth.py)")
+    sg.add_argument("--topk", type=int, default=10)
+    sg.add_argument("--block-rows", type=int, default=65536)
+    sg.set_defaults(fn=cmd_compute_ground_truth)
 
     sf = sub.add_parser("fit-params")
     sf.add_argument("--index", default="hnsw", choices=["hnsw", "ivf"])

@@ -480,20 +480,22 @@ class HNSWIndex:
             if not cids:
                 graph[nid, :] = -1
                 continue
-            dists = ((vec_all[cids] - new_vec[j]) ** 2).sum(axis=1)
+            cvecs = vec_all[cids].astype(np.float64)
+            dists = ((cvecs - new_vec[j].astype(np.float64)) ** 2).sum(axis=1)
             order = np.argsort(dists, kind="stable")
-            kept: list = []
+            # one candidate-pairwise distance matrix per node: the RNG
+            # domination checks below become row lookups instead of a
+            # fresh O(d) einsum per (candidate, kept) pair — the host-side
+            # hot spot at 1e5-row insert batches
+            sq = (cvecs * cvecs).sum(axis=1)
+            pair = sq[:, None] + sq[None, :] - 2.0 * (cvecs @ cvecs.T)
+            kept_idx: list = []
             for oi in order:
-                if len(kept) >= self.m:
+                if len(kept_idx) >= self.m:
                     break
-                c = cids[oi]
-                dc = dists[oi]
-                dominated = any(
-                    ((vec_all[c] - vec_all[t]) ** 2).sum() * alpha < dc
-                    for t in kept
-                )
-                if not dominated:
-                    kept.append(c)
+                if not np.any(pair[oi, kept_idx] * alpha < dists[oi]):
+                    kept_idx.append(oi)
+            kept = [cids[oi] for oi in kept_idx]
             graph[nid, : len(kept)] = kept
             graph[nid, len(kept):] = -1
             # reverse edges: append nid; if full, drop the farthest edge

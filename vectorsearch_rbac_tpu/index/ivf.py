@@ -149,15 +149,43 @@ class IVFIndex:
     def search(
         self, queries: np.ndarray, query_masks: np.ndarray, k: int,
         nprobe: Optional[int] = None,
+        iterative: bool = False,         # ivfflat.iterative_scan analog
+                                         # (reference pgvector/src/ivfscan.c:257,
+                                         # ivfflat.c:44-50): low-selectivity
+                                         # queries that fill fewer than k
+                                         # admissible slots re-probe with a
+                                         # doubled probe budget
+        max_probes: Optional[int] = None,  # ivfflat.max_probes analog
     ) -> Tuple[np.ndarray, np.ndarray]:
-        import jax.numpy as jnp
-
         nprobe = min(nprobe or self.nprobe, self.nlist)
         q = np.asarray(queries, dtype=np.float32)
         m = np.asarray(query_masks, dtype=np.uint32)
         nq = q.shape[0]
         out_d = np.empty((nq, k), dtype=np.float32)
         out_i = np.empty((nq, k), dtype=np.int64)
+        self._dispatch(q, m, k, nprobe, out_d, out_i, np.arange(nq))
+
+        if iterative:
+            # expand probes for the queries that came back short — the
+            # batched form of pgvector's resume-the-scan loop. Probe counts
+            # double (pow2 ladder: one compile per rung), so a deficient
+            # query pays at most 2x the probes it needed.
+            cap = min(max_probes or self.nlist, self.nlist)
+            np2 = nprobe
+            while np2 < cap:
+                np2 = min(np2 * 2, cap)
+                short = np.flatnonzero((out_i < 0).any(axis=1))
+                if not len(short):
+                    break
+                self._dispatch(q[short], m[short], k, np2,
+                               out_d, out_i, short)
+        return out_d, out_i
+
+    def _dispatch(self, q, m, k, nprobe, out_d, out_i, dest) -> None:
+        """One padded-batch pass at a fixed nprobe; writes rows `dest`."""
+        import jax.numpy as jnp
+
+        nq = q.shape[0]
         bs = self.query_batch
         pending = []  # async dispatch, single sync at the end
         for s in range(0, nq, bs):
@@ -173,9 +201,8 @@ class IVFIndex:
             )
             pending.append((s, e, d, i))
         for s, e, d, i in pending:
-            out_d[s:e] = np.asarray(d)[: e - s]
-            out_i[s:e] = np.asarray(i)[: e - s]
-        return out_d, out_i
+            out_d[dest[s:e]] = np.asarray(d)[: e - s]
+            out_i[dest[s:e]] = np.asarray(i)[: e - s]
 
     # -------------------------------------------------------- maintenance
 
