@@ -45,7 +45,7 @@ print("arena up", flush=True)
 
 rng = np.random.default_rng(1)
 queries = qpool[rng.choice(len(qpool), NQ, replace=True)].astype(np.float32)
-full_mask = np.ones((NQ, world.words), dtype=np.uint32)
+full_mask = np.full((NQ, world.words), 0xFFFFFFFF, dtype=np.uint32)
 
 vec = arena.host_vectors.astype(np.float32)
 
@@ -117,11 +117,26 @@ r_region = region_recall(ids1, truth_all, N_OLD)
 print(f"hnsw insert {len(rows_new)} rows in {ins_s:.1f}s "
       f"({len(rows_new)/ins_s:,.0f} rows/s); recall after {r_after:.4f}, "
       f"inserted-region recall {r_region:.4f}", flush=True)
+
+# refinement arm: re-prune the inserted rows against the FINAL graph
+# (bulk loads only link forward-in-batch; see HNSWIndex.refine_rows)
+t0 = time.perf_counter()
+hnsw.refine_rows(arena, rows_new)
+ref_s = time.perf_counter() - t0
+_, ids2 = hnsw.search(queries, full_mask, K, sampled_entry=True)
+r_ref = recall_against(ids2, truth_all)
+r_ref_region = region_recall(ids2, truth_all, N_OLD)
+print(f"hnsw refine in {ref_s:.1f}s; recall {r_ref:.4f}, "
+      f"inserted-region {r_ref_region:.4f}", flush=True)
 report["hnsw"] = {
     "build_s": build_s, "insert_s": ins_s,
     "insert_rows_per_s": len(rows_new) / ins_s,
     "recall_before": r_before, "recall_after": r_after,
     "recall_inserted_region": r_region,
+    "refine_s": ref_s,
+    "insert_plus_refine_rows_per_s": len(rows_new) / (ins_s + ref_s),
+    "recall_after_refine": r_ref,
+    "recall_inserted_region_after_refine": r_ref_region,
 }
 
 # ------------------------------------------------------------------- IVF

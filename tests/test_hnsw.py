@@ -288,3 +288,46 @@ def test_acorn_dense_build_contract():
     hit = np.mean([t1[i] in set(np.asarray(ids_all)[i].tolist())
                    for i in range(nq)])
     assert hit >= 0.85, hit
+
+
+def test_refine_rows_after_bulk_insert(small_world, small_corpus):
+    """refine_rows (the insert-path Vamana refinement): re-pruning inserted
+    rows against the FINAL graph never loses recall and keeps the graph
+    well-formed (no self-edges, degrees within M0, permissions intact)."""
+    arena = build_device_arena(small_corpus, small_world, block_rows=128)
+    half = small_corpus.n // 2
+    idx = HNSWIndex(arena, rows=np.arange(half, dtype=np.int64), m=8,
+                    ef_search=64, query_batch=16, builder="classic", seed=0)
+    new_rows = np.arange(half, small_corpus.n, dtype=np.int64)
+    idx.insert_rows(arena, new_rows)
+
+    rng = np.random.default_rng(9)
+    nq = 16
+    pick = rng.integers(half, small_corpus.n, nq)
+    q = small_corpus.vectors[pick] + 0.01 * rng.standard_normal(
+        (nq, small_corpus.dim)).astype(np.float32)
+    allmask = np.full((nq, small_world.words), 0xFFFFFFFF, dtype=np.uint32)
+    vec = small_corpus.vectors
+    d2 = np.einsum("nd,nd->n", vec, vec)[None, :] - 2 * q @ vec.T
+    truth = np.argsort(d2, axis=1, kind="stable")[:, :5]
+
+    def recall():
+        _, ids = idx.search(q, allmask, k=5, ef_search=96)
+        hits = sum(
+            len(set(int(x) for x in ids[i] if x >= 0) & set(truth[i].tolist()))
+            for i in range(nq))
+        return hits / (nq * 5)
+
+    before = recall()
+    idx.refine_rows(arena, new_rows)
+    after = recall()
+    assert after >= before - 0.05, (before, after)
+
+    # graph invariants: no self edges, no out-of-range ids, host mirror
+    # matches the device graph
+    g = np.asarray(idx._graph)
+    np.testing.assert_array_equal(g, idx._hgraph)
+    for nid in range(idx.n_rows):
+        row = g[nid]
+        assert nid not in row[row >= 0]
+        assert (row < idx.n_rows).all()

@@ -34,6 +34,30 @@ from .flat import _pad_to_bucket
 
 logger = get_logger("index.hnsw")
 
+_SCATTER_FNS: dict = {}
+
+
+def _scatter_rows(dev_arr, idx: np.ndarray, vals: np.ndarray):
+    """Scatter-update rows of a device array: `dev_arr[idx] = vals` compiled
+    with buffer donation (the old device buffer is reused in place). The
+    index count pads to a pow2 bucket by repeating idx[0]/vals[0] (same
+    value written twice — order-independent), so maintenance calls land on
+    ~log2 compiled shapes instead of one per batch size."""
+    import jax
+    import jax.numpy as jnp
+
+    n = len(idx)
+    cap = max(1, 1 << (n - 1).bit_length()) if n else 1
+    if n < cap:
+        idx = np.concatenate([idx, np.full(cap - n, idx[0], idx.dtype)])
+        vals = np.concatenate(
+            [vals, np.broadcast_to(vals[0], (cap - n,) + vals.shape[1:])])
+    fn = _SCATTER_FNS.get("fn")
+    if fn is None:
+        fn = jax.jit(lambda a, i, v: a.at[i].set(v), donate_argnums=(0,))
+        _SCATTER_FNS["fn"] = fn
+    return fn(dev_arr, jnp.asarray(idx), jnp.asarray(vals))
+
 
 def _device_knn_graph_ivf(vec: np.ndarray, k: int, seed: int = 0) -> np.ndarray:
     """Approximate kNN graph via IVF probing — the scalable graph-build
@@ -353,6 +377,7 @@ class HNSWIndex:
             self._vectors = arena.vectors
             self._norms = arena.norms
             self._bits = arena.role_bits
+            self._hvec = self._hnorm = self._hbits = None
         else:
             gvec = np.concatenate([vec, np.zeros((pad, d), np.float32)])
             gnorm = np.concatenate([host_norm[rows], np.zeros(pad, np.float32)])
@@ -363,8 +388,14 @@ class HNSWIndex:
             self._vectors = jax.device_put(gvec.astype(compute_dtype))
             self._norms = jax.device_put(gnorm)
             self._bits = jax.device_put(gbits)
+            # persistent host mirrors: maintenance (insert/delete) mutates
+            # these and delta-scatters to device — never a device->host
+            # round trip of the full arrays (through the tunnel that fetch
+            # + re-upload dominated insert cost, ~2.7s per 4096-row batch)
+            self._hvec, self._hnorm, self._hbits = gvec, gnorm, gbits
         self._graph = jax.device_put(ggraph)
         self._row_map = jax.device_put(rmap)
+        self._hgraph, self._hrmap = ggraph, rmap
         avg_deg = float((nbr >= 0).sum(axis=1).mean())
         logger.info(
             "HNSW built (%s): %d rows, M0=%d (avg deg %.1f), %.2fs",
@@ -376,26 +407,17 @@ class HNSWIndex:
         """Online insert of arena rows into the live graph — the pgvector
         HNSW insert path analog (reference pgvector/src/hnswinsert.c:
         greedy-search for neighbors, RNG-prune, add bidirectional edges,
-        prune overflowing neighbor lists). Batched: candidates for ALL new
-        rows come from one device beam-search pass over the current graph;
-        edge updates are host-side numpy. The pow2 padding bucket absorbs
-        growth until the next boundary; crossing it re-uploads the device
-        arrays once."""
-        import jax
-        import jax.numpy as jnp
-
+        prune overflowing neighbor lists). Batched: candidates for each
+        4096-row sub-batch come from one device beam-search pass over the
+        current graph (sub-batching keeps clustered bulk loads connected:
+        later rows\' searches SEE earlier inserts, pgvector\'s sequential
+        semantics); edge updates mutate persistent HOST MIRRORS and
+        delta-scatter to the device graph — only the changed rows travel,
+        never a full fetch/re-upload round trip (which dominated insert
+        cost through the tunnel). Crossing a pow2 padding bucket re-uploads
+        once."""
         rows = np.asarray(rows, dtype=np.int64)
         if len(rows) == 0:
-            return
-        # sub-batch so later rows' candidate searches SEE earlier inserts
-        # (pgvector's sequential hnswinsert.c lets same-batch rows link up;
-        # one graph pass over the pre-insert graph cannot). 4096 bounds the
-        # number of device re-uploads while keeping clustered bulk loads
-        # connected across sub-batches; within one sub-batch the shared-
-        # candidate augmentation below links co-located members.
-        if len(rows) > 4096:
-            for s in range(0, len(rows), 4096):
-                self.insert_rows(arena, rows[s:s + 4096], ef_construction)
             return
         efc = ef_construction or max(self.m * 2, 48)
         if arena.host_vectors is not None:
@@ -404,26 +426,63 @@ class HNSWIndex:
             hv = np.asarray(arena.vectors, dtype=np.float32)
             hn = np.asarray(arena.norms)
             hb = np.asarray(arena.role_bits)
-        new_vec = np.ascontiguousarray(hv[rows], dtype=np.float32)
+        # pre-grow the pow2 bucket ONCE to the final size: mid-insert
+        # growth would recompile the beam search + scatter at a new shape
+        # (minutes through the tunnel) and force an extra full upload
+        self._grow_to(self.n_rows + len(rows))
+        for s in range(0, len(rows), 4096):
+            self._insert_sub_batch(rows[s:s + 4096], efc, hv, hn, hb)
+        # sampled-entry cache covers only pre-insert rows — rebuild lazily
+        if hasattr(self, "_entry_sample"):
+            del self._entry_sample
+        logger.info("inserted %d rows (now %d, npad %d)",
+                    len(rows), self.n_rows, self._hgraph.shape[0])
 
-        graph = np.array(self._graph)              # mutable host copies
-        rmap_all = np.array(self._row_map)
-        if self.logical:
-            # local mirrors come FROM the shared table via the row map; the
-            # device table itself is untouched by an insert (the new rows
-            # are arena rows and already live there)
-            safe = np.maximum(rmap_all, 0)
-            vec_all = hv[safe].astype(np.float32)
-            norms_all = np.asarray(hn[safe])
-            bits_all = np.asarray(hb[safe])
-        else:
-            vec_all = np.array(self._vectors, dtype=np.float32)
-            norms_all = np.array(self._norms)
-            bits_all = np.array(self._bits)
+    def _grow_to(self, n_total: int) -> None:
+        """Grow host mirrors + device arrays to the pow2 bucket holding
+        n_total rows (no-op when they already fit)."""
+        import jax
+
+        npad_new = max(1024, 1 << (max(n_total, 1) - 1).bit_length())
+        if npad_new <= self._hgraph.shape[0]:
+            return
+
+        def _grow(a, fill):
+            out = np.full((npad_new,) + a.shape[1:], fill, dtype=a.dtype)
+            out[: a.shape[0]] = a
+            return out
+
+        self._hgraph = _grow(self._hgraph, -1)
+        self._hrmap = _grow(self._hrmap, -1)
+        self._graph = jax.device_put(self._hgraph)
+        self._row_map = jax.device_put(self._hrmap)
+        if not self.logical:
+            self._hvec = _grow(self._hvec, 0)
+            self._hnorm = _grow(self._hnorm, 0)
+            self._hbits = _grow(self._hbits, 0)
+            self._vectors = jax.device_put(
+                self._hvec.astype(self._vectors.dtype))
+            self._norms = jax.device_put(self._hnorm)
+            self._bits = jax.device_put(self._hbits)
+
+    def _insert_sub_batch(self, rows: np.ndarray, efc: int,
+                          hv: np.ndarray, hn: np.ndarray,
+                          hb: np.ndarray) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        graph = self._hgraph
+        rmap_all = self._hrmap
         m0 = graph.shape[1]
         n_old, n_new = self.n_rows, len(rows)
+        new_vec = np.ascontiguousarray(hv[rows], dtype=np.float32)
 
-        # 1) candidates: batched unfiltered beam search on the current graph
+        # 1) candidates: batched unfiltered beam search on the current
+        # device graph (which the previous sub-batch\'s scatter updated)
+        # candidate width 32: widening to 48 measured NO recall gain
+        # (0.743 vs 0.750 inserted-region recall@10 at 200k+100k) at 1.15x
+        # cost — insert quality is candidate-VISIBILITY bound (same-batch
+        # rows invisible to the pre-insert graph), which refine_rows fixes
         cand = np.full((n_new, min(efc, 32)), -1, dtype=np.int32)
         bs = 1024
         masks = jnp.ones((bs, 1), dtype=jnp.uint32)
@@ -442,32 +501,31 @@ class HNSWIndex:
         for s, e, ids in pending:
             cand[s:e] = np.asarray(ids)[: e - s]
 
-        # 2) grow host-side arrays (pow2 bucket)
+        # 2) the bucket was pre-grown by insert_rows; only delta scatters
+        # remain
         n_total = n_old + n_new
-        npad_new = max(1024, 1 << (n_total - 1).bit_length())
-        npad_old = graph.shape[0]
-        d = vec_all.shape[1]
-        if npad_new != npad_old:
-            def _grow(a, fill):
-                out = np.full((npad_new,) + a.shape[1:], fill, dtype=a.dtype)
-                out[: a.shape[0]] = a
-                return out
-            vec_all = _grow(vec_all, 0)
-            norms_all = _grow(norms_all, 0)
-            bits_all = _grow(bits_all, 0)
-            graph = _grow(graph, -1)
-            rmap_all = _grow(rmap_all, -1)
-        vec_all[n_old:n_total] = new_vec
-        norms_all[n_old:n_total] = hn[rows]
-        bits_all[n_old:n_total] = hb[rows]
+        assert n_total <= graph.shape[0], "insert_rows did not pre-grow"
         rmap_all[n_old:n_total] = rows.astype(np.int32)
+        if self.logical:
+            def getv(ids):
+                return hv[rmap_all[np.asarray(ids, dtype=np.int64)]].astype(
+                    np.float32, copy=False)
+        else:
+            self._hvec[n_old:n_total] = new_vec
+            self._hnorm[n_old:n_total] = hn[rows]
+            self._hbits[n_old:n_total] = hb[rows]
+            vec_all = self._hvec
 
-        # 3) alpha-prune each new node's candidate list (hnswinsert.c
+            def getv(ids):
+                return vec_all[np.asarray(ids, dtype=np.int64)]
+
+        # 3) alpha-prune each new node\'s candidate list (hnswinsert.c
         # HnswFindElementNeighbors + RNG heuristic), then reverse edges
         # with overflow re-prune
         alpha = 1.2
+        changed: set = set()
         # shared-candidate map: old node -> already-inserted batch members
-        # that listed it — lets same-sub-batch rows become each other's
+        # that listed it — lets same-sub-batch rows become each other\'s
         # neighbors (they are invisible to the pre-insert graph search)
         seen_by_cand: dict = {}
         for j in range(n_new):
@@ -480,7 +538,7 @@ class HNSWIndex:
             if not cids:
                 graph[nid, :] = -1
                 continue
-            cvecs = vec_all[cids].astype(np.float64)
+            cvecs = getv(cids).astype(np.float64)
             dists = ((cvecs - new_vec[j].astype(np.float64)) ** 2).sum(axis=1)
             order = np.argsort(dists, kind="stable")
             # one candidate-pairwise distance matrix per node: the RNG
@@ -499,32 +557,152 @@ class HNSWIndex:
             graph[nid, : len(kept)] = kept
             graph[nid, len(kept):] = -1
             # reverse edges: append nid; if full, drop the farthest edge
+            gv_new = new_vec[j]
             for c in kept:
                 slots = np.nonzero(graph[c] < 0)[0]
                 if len(slots):
                     graph[c, slots[0]] = nid
+                    changed.add(int(c))
                 else:
                     nbrs = graph[c]
-                    dn = ((vec_all[nbrs] - vec_all[c]) ** 2).sum(axis=1)
+                    gv_c = getv([c])[0]
+                    dn = ((getv(nbrs) - gv_c) ** 2).sum(axis=1)
                     worst = int(np.argmax(dn))
-                    if (((vec_all[nid] - vec_all[c]) ** 2).sum() < dn[worst]):
+                    if ((gv_new - gv_c) ** 2).sum() < dn[worst]:
                         graph[c, worst] = nid
+                        changed.add(int(c))
 
-        # 4) re-upload device arrays (logical mode: graph + row map only —
-        # the shared table already holds the new rows)
+        # 4) device update: full upload on bucket growth, else scatter only
+        # the changed rows (logical mode: graph + row map are the only
+        # per-partition device arrays — the shared table already holds the
+        # new rows)
+        compute_dtype = self._vectors.dtype
+        new_ids = np.arange(n_old, n_total, dtype=np.int32)
+        gidx = np.concatenate([
+            new_ids,
+            np.fromiter((c for c in sorted(changed) if c < n_old),
+                        dtype=np.int32),
+        ])
+        self._graph = _scatter_rows(self._graph, gidx, graph[gidx])
+        self._row_map = _scatter_rows(self._row_map, new_ids,
+                                      rmap_all[new_ids])
         if not self.logical:
-            compute_dtype = self._vectors.dtype
-            self._vectors = jax.device_put(vec_all.astype(compute_dtype))
-            self._norms = jax.device_put(norms_all)
-            self._bits = jax.device_put(bits_all)
-        self._graph = jax.device_put(np.ascontiguousarray(graph))
-        self._row_map = jax.device_put(rmap_all)
+            self._vectors = _scatter_rows(
+                self._vectors, new_ids,
+                self._hvec[new_ids].astype(compute_dtype))
+            self._norms = _scatter_rows(self._norms, new_ids,
+                                        self._hnorm[new_ids])
+            self._bits = _scatter_rows(self._bits, new_ids,
+                                       self._hbits[new_ids])
         self.n_rows = n_total
-        # sampled-entry cache covers only pre-insert rows — rebuild lazily
+
+    def refine_rows(self, arena: DeviceArena, rows: np.ndarray,
+                    ef: Optional[int] = None) -> None:
+        """Re-prune the given (arena-id) rows\' neighborhoods against the
+        CURRENT graph — the insert-path analog of the builder\'s Vamana
+        refinement pass (_vamana_refine). Bulk inserts need it because a
+        sub-batch\'s candidate searches cannot see rows inserted later: a
+        clustered 1e5-row load links mostly forward-in-batch. One batched
+        device search over the final graph + a host re-prune + delta
+        scatter closes most of the gap to built-graph recall (measured in
+        results/online_insert_scale.json). pgvector has no equivalent —
+        its sequential hnswinsert.c never has invisible siblings."""
+        import jax.numpy as jnp
+
+        rows = np.asarray(rows, dtype=np.int64)
+        if len(rows) == 0:
+            return
+        if arena.host_vectors is not None:
+            hv = arena.host_vectors
+        else:
+            hv = np.asarray(arena.vectors, dtype=np.float32)
+        graph = self._hgraph
+        rmap_all = self._hrmap
+        local_of = {int(r): i for i, r in enumerate(rmap_all[: self.n_rows])}
+        nodes = np.asarray([local_of[int(r)] for r in rows
+                            if int(r) in local_of], dtype=np.int64)
+        if len(nodes) == 0:
+            return
+        if self.logical:
+            def getv(ids):
+                return hv[rmap_all[np.asarray(ids, dtype=np.int64)]].astype(
+                    np.float32, copy=False)
+        else:
+            vec_all = self._hvec
+
+            def getv(ids):
+                return vec_all[np.asarray(ids, dtype=np.int64)]
+        node_vec = getv(nodes)
+
+        # candidates from the FINAL graph (every inserted row now visible)
+        efr = ef or max(self.m * 2, 48)
+        width = min(efr, 32)
+        cand = np.full((len(nodes), width), -1, dtype=np.int32)
+        bs = 1024
+        masks = jnp.ones((bs, 1), dtype=jnp.uint32)
+        ones_bits = jnp.ones((self._vectors.shape[0], 1), dtype=jnp.uint32)
+        pending = []
+        for s in range(0, len(nodes), bs):
+            e = min(s + bs, len(nodes))
+            qb = np.zeros((bs, node_vec.shape[1]), dtype=np.float32)
+            qb[: e - s] = node_vec[s:e]
+            _, ids = graph_search_fn(
+                jnp.asarray(qb), self._vectors, self._norms, ones_bits,
+                self._graph, masks, self.entry, width, efr,
+                row_map=self._row_map if self.logical else None,
+            )
+            pending.append((s, e, ids))
+        for s, e, ids in pending:
+            cand[s:e] = np.asarray(ids)[: e - s]
+
+        alpha = 1.2
+        changed: set = set()
+        for j, nid in enumerate(nodes.tolist()):
+            cids = sorted({int(c) for c in cand[j] if c >= 0 and c != nid}
+                          | {int(c) for c in graph[nid] if c >= 0})
+            if not cids:
+                continue
+            cvecs = getv(cids).astype(np.float64)
+            base = node_vec[j].astype(np.float64)
+            dists = ((cvecs - base) ** 2).sum(axis=1)
+            order = np.argsort(dists, kind="stable")
+            sq = (cvecs * cvecs).sum(axis=1)
+            pair = sq[:, None] + sq[None, :] - 2.0 * (cvecs @ cvecs.T)
+            kept_idx: list = []
+            for oi in order:
+                if len(kept_idx) >= self.m:
+                    break
+                if not np.any(pair[oi, kept_idx] * alpha < dists[oi]):
+                    kept_idx.append(oi)
+            kept = [cids[oi] for oi in kept_idx]
+            graph[nid, : len(kept)] = kept
+            graph[nid, len(kept):] = -1
+            changed.add(int(nid))
+            gv_j = node_vec[j]
+            for c in kept:
+                if nid in graph[c]:
+                    continue
+                slots = np.nonzero(graph[c] < 0)[0]
+                if len(slots):
+                    graph[c, slots[0]] = nid
+                    changed.add(int(c))
+                else:
+                    nbrs = graph[c]
+                    gv_c = getv([c])[0]
+                    dn = ((getv(nbrs) - gv_c) ** 2).sum(axis=1)
+                    worst = int(np.argmax(dn))
+                    if ((gv_j - gv_c) ** 2).sum() < dn[worst]:
+                        graph[c, worst] = nid
+                        changed.add(int(c))
+
+        cidx = np.fromiter(sorted(changed), dtype=np.int32,
+                           count=len(changed))
+        if len(cidx):
+            self._graph = _scatter_rows(self._graph, cidx, graph[cidx])
         if hasattr(self, "_entry_sample"):
             del self._entry_sample
-        logger.info("inserted %d rows (now %d, npad %d)",
-                    n_new, n_total, graph.shape[0])
+        logger.info("refined %d rows (%d graph rows updated)",
+                    len(nodes), len(cidx))
 
     def delete_rows(self, arena: DeviceArena, rows: np.ndarray) -> int:
         """Row-level delete with graph repair — the pgvector HNSW vacuum
@@ -548,13 +726,13 @@ class HNSWIndex:
         import jax
 
         rows = np.asarray(rows, dtype=np.int64)
-        rmap = np.asarray(self._row_map)
+        rmap = self._hrmap
         local_of = {int(r): i for i, r in enumerate(rmap[: self.n_rows])}
         dels = np.asarray(sorted(local_of[int(r)] for r in rows
                                  if int(r) in local_of), dtype=np.int64)
         if len(dels) == 0:
             return 0
-        graph = np.array(self._graph)
+        graph = self._hgraph  # host mirror, mutated in place
         npad = graph.shape[0]
         is_del = np.zeros(npad, dtype=bool)
         is_del[dels] = True
@@ -618,11 +796,12 @@ class HNSWIndex:
             else:
                 self.entry = 0
 
+        changed = np.unique(np.concatenate([affected, dels])).astype(np.int32)
         if not self.logical:
-            bits = np.array(self._bits)
-            bits[dels] = 0
-            self._bits = jax.device_put(bits)
-        self._graph = jax.device_put(np.ascontiguousarray(graph))
+            self._hbits[dels] = 0
+            self._bits = _scatter_rows(self._bits, dels.astype(np.int32),
+                                       self._hbits[dels])
+        self._graph = _scatter_rows(self._graph, changed, graph[changed])
         if hasattr(self, "_entry_sample"):
             del self._entry_sample
         logger.info("deleted %d rows (graph repaired at %d nodes)",
