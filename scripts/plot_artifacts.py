@@ -215,6 +215,81 @@ def plot_qdtree_margin(out_dir: str) -> str | None:
     return path
 
 
+def plot_serving_load(out: str):
+    """Latency/throughput operating curve of the BatchingServer
+    (results/serving_load_1m.json)."""
+    data = _load("serving_load_1m.json")
+    if data is None:
+        return None
+    levels = data["levels"]
+    c = [r["clients"] for r in levels]
+    qps = [r["qps"] for r in levels]
+    p50 = [r["p50_ms"] for r in levels]
+    p95 = [r["p95_ms"] for r in levels]
+
+    fig, ax = plt.subplots(figsize=(5.2, 3.2))
+    ax.plot(c, qps, marker="o", color=C1, label="throughput (QPS)")
+    ax.set_xscale("log", base=2)
+    ax.set_yscale("log")
+    ax.set_xlabel("closed-loop clients")
+    ax.set_ylabel("QPS", color=C1)
+    ax2 = ax.twinx()
+    ax2.plot(c, p50, marker="s", color=C2, label="p50 latency")
+    ax2.plot(c, p95, marker="^", color=C2, alpha=0.45, label="p95 latency")
+    ax2.set_ylabel("latency (ms)", color=C2)
+    ax2.grid(False)
+    ax2.spines["top"].set_visible(False)
+    lines = ax.get_lines() + ax2.get_lines()
+    ax.legend(lines, [ln.get_label() for ln in lines], loc="upper left",
+              fontsize=8)
+    ax.set_title(f"serving front-end, {data['n']:,} rows int8 top-{data['k']}"
+                 f" ({data['window_s']:.0f}s windows)", fontsize=9)
+    path = os.path.join(out, "serving_load.pdf")
+    fig.tight_layout(); fig.savefig(path); plt.close(fig)
+    return path
+
+
+def plot_online_insert(out: str):
+    """Online-insert throughput + recall arms
+    (results/online_insert_scale.json)."""
+    data = _load("online_insert_scale.json")
+    if data is None:
+        return None
+    h, v = data["hnsw"], data["ivf"]
+    fig, (ax, ax2) = plt.subplots(1, 2, figsize=(7.2, 3.0))
+
+    bars = [
+        ("IVF\ninsert", v["insert_rows_per_s"], C3),
+        ("HNSW\ninsert", h["insert_rows_per_s"], C1),
+        ("HNSW insert\n+ refine", h.get("insert_plus_refine_rows_per_s", 0),
+         C2),
+        ("HNSW\nbuild", data["n_old"] / h["build_s"], INK2),
+    ]
+    xs = range(len(bars))
+    ax.bar(xs, [b[1] for b in bars], color=[b[2] for b in bars], width=0.62)
+    ax.set_xticks(list(xs), [b[0] for b in bars], fontsize=8)
+    ax.set_ylabel("rows / s")
+    ax.set_title(f"{data['n_insert']:,}-row batch into a live "
+                 f"{data['n_old']:,}-row index", fontsize=9)
+
+    arms = [
+        ("built graph\n(pre-insert)", h["recall_before"], INK2),
+        ("after insert", h["recall_inserted_region"], C1),
+        ("after refine", h.get("recall_inserted_region_after_refine", 0), C2),
+        ("IVF", v["recall_inserted_region"], C3),
+    ]
+    xs2 = range(len(arms))
+    ax2.bar(xs2, [a[1] for a in arms], color=[a[2] for a in arms], width=0.62)
+    ax2.set_xticks(list(xs2), [a[0] for a in arms], fontsize=8)
+    ax2.set_ylim(0, 1.05)
+    ax2.axhline(h["recall_before"], color=INK2, lw=0.8, ls="--")
+    ax2.set_ylabel(f"recall@{data['k']} (inserted region)")
+    ax2.set_title("inserted rows reachable?", fontsize=9)
+    path = os.path.join(out, "online_insert.pdf")
+    fig.tight_layout(); fig.savefig(path); plt.close(fig)
+    return path
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="results/plots")
@@ -225,6 +300,8 @@ def main():
         plot_ivf_coverage(args.out),
         plot_strategy_compare(args.out),
         plot_qdtree_margin(args.out),
+        plot_serving_load(args.out),
+        plot_online_insert(args.out),
     ) if p]
     for p in made:
         print(p)

@@ -331,3 +331,54 @@ def test_refine_rows_after_bulk_insert(small_world, small_corpus):
         row = g[nid]
         assert nid not in row[row >= 0]
         assert (row < idx.n_rows).all()
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_native_insert_update_parity(small_world, small_corpus, monkeypatch):
+    """vsr_insert_update (C++ edge loop) vs the numpy fallback: same
+    semantics — equal recall band, identical invariants — on the same
+    insert workload."""
+    def build_and_insert(force_python):
+        arena = build_device_arena(small_corpus, small_world, block_rows=128)
+        half = small_corpus.n // 2
+        idx = HNSWIndex(arena, rows=np.arange(half, dtype=np.int64), m=8,
+                        ef_search=64, query_batch=16, builder="classic",
+                        seed=0)
+        if force_python:
+            monkeypatch.setattr(
+                "vectorsearch_rbac_tpu.native.available", lambda: False)
+        else:
+            monkeypatch.setattr(
+                "vectorsearch_rbac_tpu.native.available", native.available)
+        idx.insert_rows(arena, np.arange(half, small_corpus.n,
+                                         dtype=np.int64))
+        return idx
+
+    rng = np.random.default_rng(11)
+    nq = 16
+    half = small_corpus.n // 2
+    pick = rng.integers(half, small_corpus.n, nq)
+    q = small_corpus.vectors[pick] + 0.01 * rng.standard_normal(
+        (nq, small_corpus.dim)).astype(np.float32)
+    allmask = np.full((nq, small_world.words), 0xFFFFFFFF, dtype=np.uint32)
+    vec = small_corpus.vectors
+    d2 = np.einsum("nd,nd->n", vec, vec)[None, :] - 2 * q @ vec.T
+    truth = np.argsort(d2, axis=1, kind="stable")[:, :5]
+
+    recalls = []
+    for force_python in (False, True):
+        idx = build_and_insert(force_python)
+        g = np.asarray(idx._graph)
+        np.testing.assert_array_equal(g, idx._hgraph)
+        for nid in range(idx.n_rows):
+            row = g[nid]
+            assert nid not in row[row >= 0]
+            assert (row < idx.n_rows).all()
+        _, ids = idx.search(q, allmask, k=5, ef_search=96)
+        hits = sum(
+            len(set(int(x) for x in ids[i] if x >= 0)
+                & set(truth[i].tolist())) for i in range(nq))
+        recalls.append(hits / (nq * 5))
+    native_r, python_r = recalls
+    assert abs(native_r - python_r) <= 0.1, recalls
+    assert native_r > 0.8, recalls

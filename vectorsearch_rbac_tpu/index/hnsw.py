@@ -521,8 +521,24 @@ class HNSWIndex:
 
         # 3) alpha-prune each new node\'s candidate list (hnswinsert.c
         # HnswFindElementNeighbors + RNG heuristic), then reverse edges
-        # with overflow re-prune
+        # with overflow re-prune. The edge loop is native C++ when the
+        # library is present (vsr_insert_update — measured the host hot
+        # spot at 1e5-row batches); the numpy loop below is the fallback
+        # with identical semantics.
+        from .. import native
+
         alpha = 1.2
+        if native.available():
+            if self.logical:
+                vec_table, vmap = hv, rmap_all
+            else:
+                vec_table = self._hvec
+                vmap = np.arange(graph.shape[0], dtype=np.int32)
+            changed_old = native.insert_update(
+                vec_table, vmap, graph, cand, n_old, self.m, alpha)
+            self._finish_sub_batch(graph, rmap_all, n_old, n_total,
+                                   np.unique(changed_old))
+            return
         changed: set = set()
         # shared-candidate map: old node -> already-inserted batch members
         # that listed it — lets same-sub-batch rows become each other\'s
@@ -572,17 +588,19 @@ class HNSWIndex:
                         graph[c, worst] = nid
                         changed.add(int(c))
 
-        # 4) device update: full upload on bucket growth, else scatter only
-        # the changed rows (logical mode: graph + row map are the only
-        # per-partition device arrays — the shared table already holds the
-        # new rows)
+        self._finish_sub_batch(
+            graph, rmap_all, n_old, n_total,
+            np.fromiter((c for c in sorted(changed) if c < n_old),
+                        dtype=np.int32))
+
+    def _finish_sub_batch(self, graph, rmap_all, n_old, n_total,
+                          changed_old: np.ndarray) -> None:
+        """Device update: scatter only the changed graph rows + the new
+        region (logical mode: graph + row map are the only per-partition
+        device arrays — the shared table already holds the new rows)."""
         compute_dtype = self._vectors.dtype
         new_ids = np.arange(n_old, n_total, dtype=np.int32)
-        gidx = np.concatenate([
-            new_ids,
-            np.fromiter((c for c in sorted(changed) if c < n_old),
-                        dtype=np.int32),
-        ])
+        gidx = np.concatenate([new_ids, changed_old.astype(np.int32)])
         self._graph = _scatter_rows(self._graph, gidx, graph[gidx])
         self._row_map = _scatter_rows(self._row_map, new_ids,
                                       rmap_all[new_ids])

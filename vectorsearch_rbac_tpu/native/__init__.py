@@ -70,6 +70,12 @@ def _load() -> Optional[ctypes.CDLL]:
         f32p, ctypes.c_int64, ctypes.c_int, f32p, ctypes.c_int64,
         ctypes.c_int, i32p, f32p,
     ]
+    lib.vsr_insert_update.restype = ctypes.c_int
+    lib.vsr_insert_update.argtypes = [
+        f32p, ctypes.c_int64, ctypes.c_int, i32p, i32p, ctypes.c_int64,
+        ctypes.c_int, i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_float, i32p, i32p,
+    ]
     _lib = lib
     return _lib
 
@@ -173,3 +179,36 @@ def exact_knn(
     if rc != 0:
         raise RuntimeError("vsr_exact_knn failed")
     return ids, dists
+
+
+def insert_update(
+    vec_table: np.ndarray,   # (n_vec, d) f32 vector table
+    vmap: np.ndarray,        # (npad,) local id -> vec_table row
+    graph: np.ndarray,       # (npad, m0) int32, MUTATED IN PLACE
+    cand: np.ndarray,        # (n_new, C) candidate local ids, -1 pads
+    n_old: int,
+    m: int,
+    alpha: float = 1.2,
+) -> np.ndarray:
+    """Online-insert edge update (forward alpha-RNG prune + reverse edges
+    + shared-candidate peers) in C++ — the host hot loop of
+    HNSWIndex.insert_rows. Returns the changed OLD graph row ids."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    vec = np.ascontiguousarray(vec_table, dtype=np.float32)
+    vm = np.ascontiguousarray(vmap, dtype=np.int32)
+    assert graph.dtype == np.int32 and graph.flags.c_contiguous
+    cd = np.ascontiguousarray(cand, dtype=np.int32)
+    n_new = cd.shape[0]
+    changed = np.empty(n_new * m + n_new, dtype=np.int32)
+    n_changed = ctypes.c_int32(len(changed))
+    rc = lib.vsr_insert_update(
+        _f32p(vec), vec.shape[0], vec.shape[1], _i32p(vm), _i32p(graph),
+        graph.shape[0], graph.shape[1], _i32p(cd), n_new, cd.shape[1],
+        n_old, m, ctypes.c_float(alpha), _i32p(changed),
+        ctypes.byref(n_changed),
+    )
+    if rc != 0:
+        raise RuntimeError(f"vsr_insert_update failed ({rc})")
+    return changed[: n_changed.value]

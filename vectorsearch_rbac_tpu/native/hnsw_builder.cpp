@@ -21,6 +21,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <unordered_map>
 #include <queue>
 #include <random>
 #include <utility>
@@ -398,6 +399,123 @@ int vsr_rng_prune(const float* vecs, int64_t n, int d, const int32_t* knn,
       }
     }
   }
+  return 0;
+}
+
+// Online-insert edge update: the host-side hot loop of
+// HNSWIndex.insert_rows (forward alpha-RNG prune of each new node's
+// candidate list + reverse edges with overflow replace-worst), moved to
+// C++ for bulk-insert throughput. Graph rows are LOCAL ids; `vmap` maps a
+// local id to its row in `vecs` (the shared arena for logical/pointer
+// indexes, an identity map for physical copies). `cand` holds each new
+// node's candidate local ids from the device beam search (-1 pads). New
+// nodes are local ids n_old..n_old+n_new-1, in order. The shared-candidate
+// peer rule links same-batch nodes that listed a common candidate (they
+// are invisible to the pre-insert graph search). Changed OLD rows are
+// reported in `changed` (capacity n_new*m + n_new; count in *n_changed).
+int vsr_insert_update(const float* vecs, int64_t n_vec, int d,
+                      const int32_t* vmap, int32_t* graph, int64_t npad,
+                      int m0, const int32_t* cand, int n_new, int C,
+                      int64_t n_old, int M, float alpha, int32_t* changed,
+                      int32_t* n_changed) {
+  if (d <= 0 || m0 < 1 || n_new < 1 || C < 1 || M < 1) return -1;
+  if (n_old + n_new > npad) return -2;
+  const int cap = *n_changed;
+  int n_out = 0;
+  std::vector<char> marked(npad, 0);
+  std::unordered_map<int32_t, std::vector<int32_t>> seen_by_cand;
+  std::vector<int32_t> cids;
+  std::vector<std::pair<double, int32_t>> order;
+  std::vector<int32_t> kept;
+  std::vector<double> kept_d;  // scratch (unused placeholder)
+
+  auto vrow = [&](int32_t local) -> const float* {
+    int32_t r = vmap[local];
+    return vecs + (int64_t)r * d;
+  };
+  auto l2d = [&](const float* a, const float* b) -> double {
+    double s = 0.0;
+    for (int t = 0; t < d; ++t) {
+      double diff = (double)a[t] - (double)b[t];
+      s += diff * diff;
+    }
+    return s;
+  };
+
+  for (int j = 0; j < n_new; ++j) {
+    const int32_t nid = (int32_t)(n_old + j);
+    const float* vn = vrow(nid);
+    cids.clear();
+    // candidates + shared-candidate peers (dedup via a small linear scan:
+    // candidate lists are <= C + peers, tens of entries)
+    for (int t = 0; t < C; ++t) {
+      int32_t c = cand[(int64_t)j * C + t];
+      if (c < 0 || c == nid) continue;
+      cids.push_back(c);
+    }
+    size_t n_direct = cids.size();
+    for (size_t t = 0; t < n_direct; ++t) {
+      auto it = seen_by_cand.find(cids[t]);
+      if (it == seen_by_cand.end()) continue;
+      for (int32_t p : it->second) {
+        bool dup = false;
+        for (int32_t x : cids)
+          if (x == p) { dup = true; break; }
+        if (!dup && p != nid) cids.push_back(p);
+      }
+    }
+    for (size_t t = 0; t < n_direct; ++t)
+      seen_by_cand[cids[t]].push_back(nid);
+
+    int32_t* row = graph + (int64_t)nid * m0;
+    for (int t = 0; t < m0; ++t) row[t] = -1;
+    if (cids.empty()) continue;
+
+    order.clear();
+    for (int32_t c : cids) order.push_back({l2d(vn, vrow(c)), c});
+    std::stable_sort(order.begin(), order.end());
+    kept.clear();
+    for (const auto& [dist, c] : order) {
+      if ((int)kept.size() >= M) break;
+      bool dominated = false;
+      const float* vc = vrow(c);
+      for (int32_t t : kept) {
+        if (l2d(vc, vrow(t)) * alpha < dist) { dominated = true; break; }
+      }
+      if (!dominated) kept.push_back(c);
+    }
+    for (size_t t = 0; t < kept.size(); ++t) row[t] = kept[t];
+
+    // reverse edges: free slot, else replace the farthest if closer
+    for (int32_t c : kept) {
+      int32_t* crow = graph + (int64_t)c * m0;
+      int slot = -1;
+      for (int t = 0; t < m0; ++t)
+        if (crow[t] < 0) { slot = t; break; }
+      bool wrote = false;
+      if (slot >= 0) {
+        crow[slot] = nid;
+        wrote = true;
+      } else {
+        const float* vc = vrow(c);
+        double worst_d = -1.0;
+        int worst_t = -1;
+        for (int t = 0; t < m0; ++t) {
+          double dn = l2d(vrow(crow[t]), vc);
+          if (dn > worst_d) { worst_d = dn; worst_t = t; }
+        }
+        if (l2d(vn, vc) < worst_d) {
+          crow[worst_t] = nid;
+          wrote = true;
+        }
+      }
+      if (wrote && c < (int32_t)n_old && !marked[c]) {
+        marked[c] = 1;
+        if (n_out < cap) changed[n_out++] = c;
+      }
+    }
+  }
+  *n_changed = n_out;
   return 0;
 }
 
