@@ -350,8 +350,9 @@ def test_native_insert_update_parity(small_world, small_corpus, monkeypatch):
         else:
             monkeypatch.setattr(
                 "vectorsearch_rbac_tpu.native.available", native.available)
-        idx.insert_rows(arena, np.arange(half, small_corpus.n,
-                                         dtype=np.int64))
+        new = np.arange(half, small_corpus.n, dtype=np.int64)
+        idx.insert_rows(arena, new)
+        idx.refine_rows(arena, new)
         return idx
 
     rng = np.random.default_rng(11)

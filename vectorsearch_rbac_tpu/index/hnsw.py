@@ -674,6 +674,25 @@ class HNSWIndex:
             cand[s:e] = np.asarray(ids)[: e - s]
 
         alpha = 1.2
+        from .. import native
+
+        if native.available():
+            if self.logical:
+                vec_table, vmap = hv, rmap_all
+            else:
+                vec_table = self._hvec
+                vmap = np.arange(graph.shape[0], dtype=np.int32)
+            touched = native.insert_update(
+                vec_table, vmap, graph, cand, self.n_rows, self.m, alpha,
+                nodes=nodes)
+            cidx = np.unique(touched).astype(np.int32)
+            if len(cidx):
+                self._graph = _scatter_rows(self._graph, cidx, graph[cidx])
+            if hasattr(self, "_entry_sample"):
+                del self._entry_sample
+            logger.info("refined %d rows (%d graph rows updated, native)",
+                        len(nodes), len(cidx))
+            return
         changed: set = set()
         for j, nid in enumerate(nodes.tolist()):
             cids = sorted({int(c) for c in cand[j] if c >= 0 and c != nid}

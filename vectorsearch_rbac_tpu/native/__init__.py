@@ -74,7 +74,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.vsr_insert_update.argtypes = [
         f32p, ctypes.c_int64, ctypes.c_int, i32p, i32p, ctypes.c_int64,
         ctypes.c_int, i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
-        ctypes.c_int, ctypes.c_float, i32p, i32p,
+        ctypes.c_int, ctypes.c_float, i32p, i32p, i32p,
     ]
     _lib = lib
     return _lib
@@ -189,10 +189,15 @@ def insert_update(
     n_old: int,
     m: int,
     alpha: float = 1.2,
+    nodes: "np.ndarray | None" = None,
 ) -> np.ndarray:
     """Online-insert edge update (forward alpha-RNG prune + reverse edges
     + shared-candidate peers) in C++ — the host hot loop of
-    HNSWIndex.insert_rows. Returns the changed OLD graph row ids."""
+    HNSWIndex.insert_rows. With `nodes` it runs in REFINE mode over those
+    existing local ids (HNSWIndex.refine_rows): candidates add the current
+    neighbor list, already-linked reverse targets are skipped, peers off.
+    Returns the changed graph row ids (insert mode: old rows only — new
+    rows always ship; refine mode: every touched row)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable")
@@ -203,11 +208,16 @@ def insert_update(
     n_new = cd.shape[0]
     changed = np.empty(n_new * m + n_new, dtype=np.int32)
     n_changed = ctypes.c_int32(len(changed))
+    nd = None
+    if nodes is not None:
+        nd = np.ascontiguousarray(nodes, dtype=np.int32)
+        assert len(nd) == n_new
     rc = lib.vsr_insert_update(
         _f32p(vec), vec.shape[0], vec.shape[1], _i32p(vm), _i32p(graph),
         graph.shape[0], graph.shape[1], _i32p(cd), n_new, cd.shape[1],
         n_old, m, ctypes.c_float(alpha), _i32p(changed),
         ctypes.byref(n_changed),
+        _i32p(nd) if nd is not None else ctypes.cast(None, ctypes.POINTER(ctypes.c_int32)),
     )
     if rc != 0:
         raise RuntimeError(f"vsr_insert_update failed ({rc})")

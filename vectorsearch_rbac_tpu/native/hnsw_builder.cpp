@@ -413,13 +413,19 @@ int vsr_rng_prune(const float* vecs, int64_t n, int d, const int32_t* knn,
 // peer rule links same-batch nodes that listed a common candidate (they
 // are invisible to the pre-insert graph search). Changed OLD rows are
 // reported in `changed` (capacity n_new*m + n_new; count in *n_changed).
+// `nodes`: when non-null, the function runs in REFINE mode over these
+// existing local ids (insert-path Vamana refinement): candidates add the
+// node's CURRENT neighbor list, reverse edges skip targets already linked,
+// and the peer rule is off (every node is already visible in the graph).
+// In insert mode (nodes == null) the nodes are n_old..n_old+n_new-1.
 int vsr_insert_update(const float* vecs, int64_t n_vec, int d,
                       const int32_t* vmap, int32_t* graph, int64_t npad,
                       int m0, const int32_t* cand, int n_new, int C,
                       int64_t n_old, int M, float alpha, int32_t* changed,
-                      int32_t* n_changed) {
+                      int32_t* n_changed, const int32_t* nodes) {
+  const bool refine = nodes != nullptr;
   if (d <= 0 || m0 < 1 || n_new < 1 || C < 1 || M < 1) return -1;
-  if (n_old + n_new > npad) return -2;
+  if (!refine && n_old + n_new > npad) return -2;
   const int cap = *n_changed;
   int n_out = 0;
   std::vector<char> marked(npad, 0);
@@ -443,33 +449,53 @@ int vsr_insert_update(const float* vecs, int64_t n_vec, int d,
   };
 
   for (int j = 0; j < n_new; ++j) {
-    const int32_t nid = (int32_t)(n_old + j);
+    const int32_t nid = refine ? nodes[j] : (int32_t)(n_old + j);
     const float* vn = vrow(nid);
+    int32_t* row = graph + (int64_t)nid * m0;
     cids.clear();
-    // candidates + shared-candidate peers (dedup via a small linear scan:
-    // candidate lists are <= C + peers, tens of entries)
+    // candidates (+ current neighbors in refine mode; dedup via a small
+    // linear scan: candidate lists are <= C + m0 + peers, tens of entries)
     for (int t = 0; t < C; ++t) {
       int32_t c = cand[(int64_t)j * C + t];
       if (c < 0 || c == nid) continue;
-      cids.push_back(c);
+      bool dup = false;
+      for (int32_t x : cids)
+        if (x == c) { dup = true; break; }
+      if (!dup) cids.push_back(c);
     }
-    size_t n_direct = cids.size();
-    for (size_t t = 0; t < n_direct; ++t) {
-      auto it = seen_by_cand.find(cids[t]);
-      if (it == seen_by_cand.end()) continue;
-      for (int32_t p : it->second) {
+    if (refine) {
+      for (int t = 0; t < m0; ++t) {
+        int32_t c = row[t];
+        if (c < 0 || c == nid) continue;
         bool dup = false;
         for (int32_t x : cids)
-          if (x == p) { dup = true; break; }
-        if (!dup && p != nid) cids.push_back(p);
+          if (x == c) { dup = true; break; }
+        if (!dup) cids.push_back(c);
       }
+    } else {
+      // shared-candidate peers: same-batch nodes that listed a common
+      // candidate (invisible to the pre-insert graph search)
+      size_t n_direct = cids.size();
+      for (size_t t = 0; t < n_direct; ++t) {
+        auto it = seen_by_cand.find(cids[t]);
+        if (it == seen_by_cand.end()) continue;
+        for (int32_t p : it->second) {
+          bool dup = false;
+          for (int32_t x : cids)
+            if (x == p) { dup = true; break; }
+          if (!dup && p != nid) cids.push_back(p);
+        }
+      }
+      for (size_t t = 0; t < n_direct; ++t)
+        seen_by_cand[cids[t]].push_back(nid);
     }
-    for (size_t t = 0; t < n_direct; ++t)
-      seen_by_cand[cids[t]].push_back(nid);
 
-    int32_t* row = graph + (int64_t)nid * m0;
+    if (cids.empty()) {
+      if (!refine)
+        for (int t = 0; t < m0; ++t) row[t] = -1;
+      continue;
+    }
     for (int t = 0; t < m0; ++t) row[t] = -1;
-    if (cids.empty()) continue;
 
     order.clear();
     for (int32_t c : cids) order.push_back({l2d(vn, vrow(c)), c});
@@ -487,8 +513,15 @@ int vsr_insert_update(const float* vecs, int64_t n_vec, int d,
     for (size_t t = 0; t < kept.size(); ++t) row[t] = kept[t];
 
     // reverse edges: free slot, else replace the farthest if closer
+    // (refine mode: skip targets that already link back)
     for (int32_t c : kept) {
       int32_t* crow = graph + (int64_t)c * m0;
+      if (refine) {
+        bool linked = false;
+        for (int t = 0; t < m0; ++t)
+          if (crow[t] == nid) { linked = true; break; }
+        if (linked) continue;
+      }
       int slot = -1;
       for (int t = 0; t < m0; ++t)
         if (crow[t] < 0) { slot = t; break; }
@@ -509,10 +542,14 @@ int vsr_insert_update(const float* vecs, int64_t n_vec, int d,
           wrote = true;
         }
       }
-      if (wrote && c < (int32_t)n_old && !marked[c]) {
+      if (wrote && (refine || c < (int32_t)n_old) && !marked[c]) {
         marked[c] = 1;
         if (n_out < cap) changed[n_out++] = c;
       }
+    }
+    if (refine && !marked[nid]) {
+      marked[nid] = 1;
+      if (n_out < cap) changed[n_out++] = nid;
     }
   }
   *n_changed = n_out;
