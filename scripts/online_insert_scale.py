@@ -51,10 +51,9 @@ vec = arena.host_vectors.astype(np.float32)
 
 
 def exact_topk(n_rows: int) -> np.ndarray:
-    """Host exact top-K row ids over rows [0, n_rows)."""
-    out = np.empty((NQ, K), dtype=np.int64)
+    """Host exact top-K row ids over rows [0, n_rows): blockwise argpartition,
+    then one final top-K over the per-block survivors."""
     qn = (queries ** 2).sum(axis=1)
-    best_d = np.full((NQ, 0), np.inf)
     ids_all, d_all = [], []
     for s in range(0, n_rows, 65536):
         e = min(s + 65536, n_rows)
@@ -66,8 +65,7 @@ def exact_topk(n_rows: int) -> np.ndarray:
     ids = np.concatenate(ids_all, axis=1)
     ds = np.concatenate(d_all, axis=1)
     sel = np.argpartition(ds, K, axis=1)[:, :K]
-    out = np.take_along_axis(ids, sel, axis=1)
-    return out
+    return np.take_along_axis(ids, sel, axis=1)
 
 
 def recall_against(ids: np.ndarray, truth: np.ndarray) -> float:

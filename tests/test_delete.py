@@ -159,3 +159,38 @@ def test_delete_role_frees_orphaned_rows(corpus, world):
     d, ids = idx.search(q, mask, 5)
     got = set(int(x) for x in ids[0] if x >= 0)
     assert not (got & set(int(r) for r in rows))
+
+
+def test_refine_does_not_resurrect_deleted(small_world, small_corpus):
+    """Regression: refine_rows over a batch containing previously deleted
+    rows must not re-link them (delete_rows' unreachability guarantee) and
+    double-delete must report 0 the second time."""
+    import numpy as np
+
+    from vectorsearch_rbac_tpu.core import build_device_arena
+    from vectorsearch_rbac_tpu.index.hnsw import HNSWIndex
+
+    arena = build_device_arena(small_corpus, small_world, block_rows=128)
+    half = small_corpus.n // 2
+    idx = HNSWIndex(arena, rows=np.arange(half, dtype=np.int64), m=8,
+                    ef_search=64, query_batch=16, builder="classic", seed=0)
+    new_rows = np.arange(half, small_corpus.n, dtype=np.int64)
+    idx.insert_rows(arena, new_rows)
+
+    victims = new_rows[:20]
+    assert idx.delete_rows(arena, victims) == 20
+    assert idx.delete_rows(arena, victims) == 0  # double delete is a no-op
+
+    idx.refine_rows(arena, new_rows)  # includes the deleted rows
+    g = np.asarray(idx._graph)
+    rmap = np.asarray(idx._row_map)
+    # deleted locals keep empty lists and appear in no live list
+    dead_locals = np.nonzero(idx._deleted_local)[0]
+    assert len(dead_locals) == 20
+    assert (g[dead_locals] < 0).all(), "deleted node re-linked by refine"
+    live = np.ones(len(g), dtype=bool)
+    live[dead_locals] = False
+    assert not np.isin(g[live], dead_locals).any(), (
+        "live node links to a deleted node after refine")
+    # deleted arena rows are no longer addressable
+    assert (rmap[dead_locals] == -1).all()

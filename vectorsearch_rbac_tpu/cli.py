@@ -121,7 +121,21 @@ def cmd_generate_queries(args) -> None:
     logger.info("wrote %d queries (topk=%d)", wl.num_queries, args.topk)
 
 
-def _planner_inputs(args, state, world, corpus, *, alpha: float, topk: int,
+def _apply_tombstones(state, corpus, arena):
+    """Zero the role bits of rows orphaned by delete-role (pgvector's
+    deleted-until-VACUUM semantics, hnswvacuum.c) — every scan, kernel,
+    and graph admissibility check then rejects them."""
+    docs = state.get("tombstoned_docs")
+    if not docs:
+        return arena
+    from .core import tombstone_rows
+
+    rows = corpus.rows_for_docs(np.asarray(docs, dtype=np.int64))
+    logger.info("tombstoned %d rows of %d orphaned docs", len(rows), len(docs))
+    return tombstone_rows(arena, rows)
+
+
+def _planner_inputs(args, world, corpus, *, alpha: float, topk: int,
                     recall=None):
     """PlannerInputs from artifacts: fitted params + workload weights when
     cached (the reference's parameter_hnsw.json / query-weight reuse,
@@ -169,7 +183,7 @@ def cmd_plan_dynamic(args) -> None:
     state = _load_state(args)
     world = state["world"]
     corpus = _corpus_from_state(state)
-    inputs = _planner_inputs(args, state, world, corpus, alpha=args.storage,
+    inputs = _planner_inputs(args, world, corpus, alpha=args.storage,
                              topk=args.topk, recall=args.recall)
     t0 = time.perf_counter()
     plan = plan_dynamic_partitions(world, inputs)
@@ -247,7 +261,7 @@ def cmd_insert_role(args) -> None:
                           num_docs=world.num_docs,
                           user_to_roles=u2r, role_to_docs=r2d)
 
-    inputs = _planner_inputs(args, state, new_world, corpus,
+    inputs = _planner_inputs(args, new_world, corpus,
                              alpha=args.storage, topk=args.topk)
     combs_with_role = {c for c in new_world.combs if new_role in c}
     combs_with_role.add((new_role,))
@@ -305,7 +319,7 @@ def cmd_delete_role(args) -> None:
                           num_docs=world.num_docs,
                           user_to_roles=u2r, role_to_docs=r2d)
 
-    inputs = _planner_inputs(args, state, new_world, corpus,
+    inputs = _planner_inputs(args, new_world, corpus,
                              alpha=args.storage, topk=args.topk)
 
     _backup_artifact(args, "state.pkl")
@@ -343,13 +357,8 @@ def cmd_compute_ground_truth(args) -> None:
         raise SystemExit("no query_dataset.json: run generate-queries first")
     wl = QueryWorkload.load_json(qfile)
 
-    arena = build_device_arena(corpus, world, block_rows=args.block_rows,
-                               dtype="float32")
-    if state.get("tombstoned_docs"):
-        from .core import tombstone_rows
-
-        arena = tombstone_rows(arena, corpus.rows_for_docs(
-            np.asarray(state["tombstoned_docs"], dtype=np.int64)))
+    arena = _apply_tombstones(state, corpus, build_device_arena(
+        corpus, world, block_rows=args.block_rows, dtype="float32"))
     oracle = GroundTruthOracle(arena, cache_dir=args.artifacts,
                                block_rows=args.block_rows)
     t0 = time.perf_counter()
@@ -565,25 +574,11 @@ def cmd_test(args) -> None:
 
     arena = build_device_arena(corpus, world, block_rows=cfg.search.block_rows,
                                dtype=args.dtype, metric=args.metric)
-    if state.get("tombstoned_docs"):
-        # rows orphaned by delete-role: zero their role bits so every scan,
-        # kernel, and graph admissibility check rejects them (pgvector's
-        # deleted-until-VACUUM semantics, hnswvacuum.c)
-        from .core import tombstone_rows
-
-        rows = corpus.rows_for_docs(
-            np.asarray(state["tombstoned_docs"], dtype=np.int64))
-        arena = tombstone_rows(arena, rows)
-        logger.info("tombstoned %d rows of %d orphaned docs",
-                    len(rows), len(state["tombstoned_docs"]))
-    gt_arena = arena if args.dtype == "float32" else build_device_arena(
-        corpus, world, block_rows=cfg.search.block_rows, dtype="float32",
-        metric=args.metric)
-    if state.get("tombstoned_docs") and gt_arena is not arena:
-        from .core import tombstone_rows
-
-        gt_arena = tombstone_rows(gt_arena, corpus.rows_for_docs(
-            np.asarray(state["tombstoned_docs"], dtype=np.int64)))
+    arena = _apply_tombstones(state, corpus, arena)
+    gt_arena = arena if args.dtype == "float32" else _apply_tombstones(
+        state, corpus, build_device_arena(
+            corpus, world, block_rows=cfg.search.block_rows,
+            dtype="float32", metric=args.metric))
     oracle = GroundTruthOracle(gt_arena, cache_dir=args.artifacts,
                                block_rows=cfg.search.block_rows)
 

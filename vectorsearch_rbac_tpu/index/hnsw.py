@@ -454,6 +454,8 @@ class HNSWIndex:
 
         self._hgraph = _grow(self._hgraph, -1)
         self._hrmap = _grow(self._hrmap, -1)
+        if hasattr(self, "_deleted_local"):
+            self._deleted_local = _grow(self._deleted_local, False)
         self._graph = jax.device_put(self._hgraph)
         self._row_map = jax.device_put(self._hrmap)
         if not self.logical:
@@ -500,6 +502,8 @@ class HNSWIndex:
             pending.append((s, e, ids))
         for s, e, ids in pending:
             cand[s:e] = np.asarray(ids)[: e - s]
+        if hasattr(self, "_deleted_local"):
+            cand[(cand >= 0) & self._deleted_local[np.maximum(cand, 0)]] = -1
 
         # 2) the bucket was pre-grown by insert_rows; only delta scatters
         # remain
@@ -639,6 +643,10 @@ class HNSWIndex:
         local_of = {int(r): i for i, r in enumerate(rmap_all[: self.n_rows])}
         nodes = np.asarray([local_of[int(r)] for r in rows
                             if int(r) in local_of], dtype=np.int64)
+        if hasattr(self, "_deleted_local"):
+            # never re-link deleted nodes (resurrection would undo
+            # delete_rows' unreachability guarantee)
+            nodes = nodes[~self._deleted_local[nodes]]
         if len(nodes) == 0:
             return
         if self.logical:
@@ -672,6 +680,8 @@ class HNSWIndex:
             pending.append((s, e, ids))
         for s, e, ids in pending:
             cand[s:e] = np.asarray(ids)[: e - s]
+        if hasattr(self, "_deleted_local"):
+            cand[(cand >= 0) & self._deleted_local[np.maximum(cand, 0)]] = -1
 
         alpha = 1.2
         from .. import native
@@ -833,6 +843,9 @@ class HNSWIndex:
             else:
                 self.entry = 0
 
+        rmap[dels] = -1  # deleted arena rows are no longer addressable
+        self._row_map = _scatter_rows(self._row_map, dels.astype(np.int32),
+                                      rmap[dels])
         changed = np.unique(np.concatenate([affected, dels])).astype(np.int32)
         if not self.logical:
             self._hbits[dels] = 0

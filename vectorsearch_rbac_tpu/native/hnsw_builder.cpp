@@ -433,7 +433,6 @@ int vsr_insert_update(const float* vecs, int64_t n_vec, int d,
   std::vector<int32_t> cids;
   std::vector<std::pair<double, int32_t>> order;
   std::vector<int32_t> kept;
-  std::vector<double> kept_d;  // scratch (unused placeholder)
 
   auto vrow = [&](int32_t local) -> const float* {
     int32_t r = vmap[local];

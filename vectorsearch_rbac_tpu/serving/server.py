@@ -90,11 +90,15 @@ class BatchingServer:
     # ------------------------------------------------------------- client
 
     def submit(self, query: np.ndarray, user_id: int, k: int) -> SearchRequest:
-        if self._closed:
-            raise RuntimeError("server is closed")
         req = SearchRequest(query=np.asarray(query, dtype=np.float32),
                             user_id=int(user_id), k=int(k))
-        self._q.put(req)
+        # closed-check and enqueue under one lock: without it, a submit
+        # that passes the check can enqueue AFTER close() drains leftovers
+        # and its result() would hang forever
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("server is closed")
+            self._q.put(req)
         return req
 
     def search(self, query: np.ndarray, user_id: int, k: int,
@@ -136,9 +140,7 @@ class BatchingServer:
                 by_k.setdefault(r.k, []).append(r)
             for k, reqs in by_k.items():
                 self._serve(reqs, k)
-            with self._lock:
-                self._batch_sizes.append(len(batch))
-                self._served += len(batch)
+            self._account(len(batch))
 
     def _serve(self, reqs: List[SearchRequest], k: int) -> None:
         try:
@@ -157,6 +159,11 @@ class BatchingServer:
                 r._error = e
                 r._event.set()
 
+    def _account(self, batch_size: int) -> None:
+        with self._lock:
+            self._batch_sizes.append(batch_size)
+            self._served += batch_size
+
     # ------------------------------------------------------------ control
 
     def stats(self) -> Dict[str, float]:
@@ -172,8 +179,9 @@ class BatchingServer:
 
     def close(self) -> None:
         """Serve everything queued, then stop the dispatch thread."""
-        self._closed = True
-        self._q.put(None)
+        with self._lock:
+            self._closed = True
+            self._q.put(None)  # all prior submits precede the sentinel
         self._thread.join()
         # drain any requests that raced past the sentinel
         leftovers: List[SearchRequest] = []
@@ -184,12 +192,13 @@ class BatchingServer:
                 break
             if r is not None:
                 leftovers.append(r)
-        if leftovers:
+        if leftovers:  # unreachable with the submit lock; kept as a belt
             by_k: Dict[int, List[SearchRequest]] = {}
             for r in leftovers:
                 by_k.setdefault(r.k, []).append(r)
             for k, reqs in by_k.items():
                 self._serve(reqs, k)
+            self._account(len(leftovers))
 
     def __enter__(self):
         return self
