@@ -158,3 +158,20 @@ def test_cli_compute_ground_truth(tmp_path):
             assert doc >= -1 and blk >= -1
     # the npy cache primes `test`: a subsequent run hits it
     assert any(f.startswith("gt_") for f in os.listdir(art))
+
+
+def test_cli_serve(tmp_path):
+    art = str(tmp_path)
+    base = ["--artifacts", art]
+    main(base + ["prepare", "--dataset", "synthetic", "--n", "1500",
+                 "--generator", "tree", "--num-roles", "8",
+                 "--num-users", "30", "--seed", "8"])
+    main(base + ["generate-queries", "--num-queries", "24", "--topk", "5"])
+    main(base + ["serve", "--algorithm", "RLS", "--clients", "8",
+                 "--duration", "2", "--topk", "5", "--dtype", "float32",
+                 "--block-rows", "512", "--index", "flat",
+                 "--max-wait-ms", "2"])
+    with open(os.path.join(art, "serve_results.json")) as f:
+        rep = json.load(f)
+    assert rep["requests"] > 0 and rep["qps"] > 0
+    assert rep["p50_ms"] > 0 and rep["avg_batch"] >= 1.0

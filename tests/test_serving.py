@@ -85,3 +85,26 @@ def test_serving_mixed_k_and_close_drains(served):
                 assert (bits[rid] & world.user_masks[uids[j]]).any()
     with pytest.raises(RuntimeError):
         srv.submit(q[0], int(uids[0]), 3)
+
+
+def test_serving_over_sharded_searcher(small_world, small_corpus):
+    """The front-end is searcher-agnostic: it composes with the multi-chip
+    engines (here the 8-virtual-device sharded global searcher)."""
+    from vectorsearch_rbac_tpu.parallel.searcher import ShardedGlobalSearcher
+
+    s = ShardedGlobalSearcher(small_corpus, small_world, n_devices=8,
+                              n_replicas=2, block_rows=64, mode="exact")
+    rng = np.random.default_rng(4)
+    nq = 24
+    q = rng.standard_normal((nq, small_corpus.dim)).astype(np.float32)
+    uids = rng.integers(0, small_world.num_users, nq)
+    want_d, want_i = s.search_batch(q, uids, small_world.user_masks, k=6)
+
+    with BatchingServer(s, small_world.user_masks, max_batch=8,
+                        max_wait_ms=10.0) as srv:
+        tickets = [srv.submit(q[j], uids[j], 6) for j in range(nq)]
+        for j, t in enumerate(tickets):
+            r = t.result(timeout=120)
+            np.testing.assert_array_equal(r.row_ids, want_i[j])
+        stats = srv.stats()
+    assert stats["served"] == nq and stats["avg_batch"] > 1.0

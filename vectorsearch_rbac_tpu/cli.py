@@ -378,6 +378,103 @@ def cmd_compute_ground_truth(args) -> None:
                 idx.shape[0], args.topk, dt, out)
 
 
+def cmd_serve(args) -> None:
+    """Closed-loop online serving over the prepared artifacts: C client
+    threads submit single queries from query_dataset.json through the
+    micro-batching front-end (serving.BatchingServer) for a fixed wall
+    window. The online counterpart of `test` (which measures the offline
+    big-batch protocol); reports achieved QPS, latency percentiles, and
+    realized device batch sizes."""
+    import threading
+
+    from .bench.queries import QueryWorkload
+    from .core import build_device_arena
+    from .partition import build_searcher
+    from .serving import BatchingServer
+    from .utils.config import FrameworkConfig
+
+    state = _load_state(args)
+    world = state["world"]
+    corpus = _corpus_from_state(state)
+    cfg = FrameworkConfig(seed=state["seed"])
+    cfg.search.block_rows = args.block_rows
+    cfg.index.kind = args.index
+    cfg.search.ef_search = args.efs
+
+    arena = _apply_tombstones(state, corpus, build_device_arena(
+        corpus, world, block_rows=cfg.search.block_rows, dtype=args.dtype))
+    kwargs = {}
+    strategy = ALGORITHM_TO_STRATEGY[args.algorithm]
+    if strategy == "dynamic":
+        pfile = _art(args, "dynamic_plan.pkl")
+        if os.path.exists(pfile):
+            with open(pfile, "rb") as f:
+                kwargs["plan"] = pickle.load(f)
+    searcher = build_searcher(strategy, corpus, world, arena, cfg, **kwargs)
+
+    qfile = _art(args, "query_dataset.json")
+    if os.path.exists(qfile):
+        wl = QueryWorkload.load_json(qfile)
+        pool_q, pool_u = wl.vectors, wl.user_ids
+    else:
+        from .bench import generate_query_workload
+
+        wl = generate_query_workload(corpus, world, num_queries=1024,
+                                     topk=args.topk,
+                                     query_pool=state.get("query_pool"),
+                                     seed=state["seed"] + 1)
+        pool_q, pool_u = wl.vectors, wl.user_ids
+
+    # warm compiles outside the measured window
+    searcher.search_batch(pool_q[:16], pool_u[:16], world.user_masks,
+                          args.topk)
+
+    lat_ms: list = []
+    lat_lock = threading.Lock()
+    stop = threading.Event()
+    with BatchingServer(searcher, world.user_masks, max_batch=args.max_batch,
+                        max_wait_ms=args.max_wait_ms) as srv:
+        def client(seed):
+            r = np.random.default_rng(seed)
+            local = []
+            while not stop.is_set():
+                j = int(r.integers(0, len(pool_q)))
+                res = srv.search(pool_q[j], int(pool_u[j]), args.topk,
+                                 timeout=120)
+                local.append(res.latency_ms)
+            with lat_lock:
+                lat_ms.extend(local)
+
+        threads = [threading.Thread(target=client, args=(7000 + i,))
+                   for i in range(args.clients)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        time.sleep(args.duration)
+        stop.set()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        stats = srv.stats()
+
+    lat = np.asarray(lat_ms) if lat_ms else np.zeros(1)
+    report = {
+        "algorithm": args.algorithm, "clients": args.clients,
+        "duration_s": wall, "requests": int(len(lat_ms)),
+        "qps": len(lat_ms) / wall,
+        "p50_ms": float(np.percentile(lat, 50)),
+        "p95_ms": float(np.percentile(lat, 95)),
+        "p99_ms": float(np.percentile(lat, 99)),
+        "avg_batch": stats["avg_batch"], "dispatches": stats["dispatches"],
+    }
+    out = _art(args, "serve_results.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    logger.info("served %d requests at %.0f QPS (p50 %.1f ms)",
+                report["requests"], report["qps"], report["p50_ms"])
+    print(json.dumps(report))
+
+
 def cmd_rollback(args) -> None:
     """Restore state.pkl + dynamic_plan.pkl from the pre-maintenance
     snapshots (reference {insertion,deletion}_rolllback.py: dropdb +
@@ -691,6 +788,22 @@ def main(argv=None) -> None:
     sr = sub.add_parser("rollback", help="restore pre-maintenance snapshots "
                         "(reference {insertion,deletion}_rolllback.py)")
     sr.set_defaults(fn=cmd_rollback)
+
+    sv = sub.add_parser("serve", help="closed-loop online serving through "
+                        "the micro-batching front-end")
+    sv.add_argument("--algorithm", default="RLS",
+                    choices=sorted(ALGORITHM_TO_STRATEGY))
+    sv.add_argument("--clients", type=int, default=64)
+    sv.add_argument("--duration", type=float, default=10.0)
+    sv.add_argument("--topk", type=int, default=10)
+    sv.add_argument("--efs", type=int, default=40)
+    sv.add_argument("--index", default="flat_approx",
+                    choices=["flat", "flat_approx", "ivf", "hnsw", "hybrid"])
+    sv.add_argument("--dtype", default="int8")
+    sv.add_argument("--block-rows", type=int, default=65536)
+    sv.add_argument("--max-batch", type=int, default=2048)
+    sv.add_argument("--max-wait-ms", type=float, default=3.0)
+    sv.set_defaults(fn=cmd_serve)
 
     sg = sub.add_parser("compute-ground-truth", help="precompute + cache "
                         "exact ground truth (reference "
