@@ -358,7 +358,8 @@ def cmd_compute_ground_truth(args) -> None:
     wl = QueryWorkload.load_json(qfile)
 
     arena = _apply_tombstones(state, corpus, build_device_arena(
-        corpus, world, block_rows=args.block_rows, dtype="float32"))
+        corpus, world, block_rows=args.block_rows, dtype="float32",
+        metric=args.metric))
     oracle = GroundTruthOracle(arena, cache_dir=args.artifacts,
                                block_rows=args.block_rows)
     t0 = time.perf_counter()
@@ -809,6 +810,8 @@ def main(argv=None) -> None:
                         "exact ground truth (reference "
                         "compute_ground_truth.py)")
     sg.add_argument("--topk", type=int, default=10)
+    sg.add_argument("--metric", default="l2",
+                    choices=["l2", "ip", "cosine", "l1"])
     sg.add_argument("--block-rows", type=int, default=65536)
     sg.set_defaults(fn=cmd_compute_ground_truth)
 
