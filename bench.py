@@ -173,7 +173,11 @@ def main():
 
     ok = res.avg_recall >= 0.95
     print(json.dumps({
-        "metric": "qps_per_chip_at_recall0.95_rbac_filtered_sift1m_top100",
+        "metric": (f"qps_per_chip_at_recall0.95_rbac_filtered_"
+                   f"{args.dataset}_{args.metric}_n{corpus.n}_top{args.topk}"
+                   if (args.dataset, args.metric, corpus.n, args.topk)
+                   != ("sift1m", "l2", 1_000_000, 100)
+                   else "qps_per_chip_at_recall0.95_rbac_filtered_sift1m_top100"),
         "value": round(res.qps, 1) if ok else 0.0,
         "unit": "qps",
         "vs_baseline": round(res.qps / BASELINE_QPS, 2) if ok else 0.0,

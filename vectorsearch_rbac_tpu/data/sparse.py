@@ -87,9 +87,10 @@ def synthetic_sparse_corpus(
     block_ids = np.tile(np.arange(blocks_per_doc, dtype=np.int32), num_docs)
     for i in range(n):
         t = topic_of_doc[doc_ids[i]]
-        nnz = int(rng.integers(nnz_low, nnz_high + 1))
-        # 80% of support from the topic's columns, 20% anywhere
-        n_topic = max(1, int(0.8 * nnz))
+        nnz = int(rng.integers(nnz_low, min(nnz_high, dim) + 1))
+        # 80% of support from the topic's columns, 20% anywhere (capped by
+        # the topic pool so replace=False sampling cannot overdraw)
+        n_topic = min(max(1, int(0.8 * nnz)), len(topic_cols[t]))
         cols = np.concatenate([
             rng.choice(topic_cols[t], size=n_topic, replace=False),
             rng.choice(dim, size=nnz - n_topic, replace=False),

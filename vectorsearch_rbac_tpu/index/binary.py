@@ -23,7 +23,6 @@ Two serving modes:
 
 from __future__ import annotations
 
-import math
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -70,16 +69,7 @@ def _rerank_fn(queries, cand_idx, arena_vectors, row_map, k, metric):
             _jnp.where(_jnp.isinf(vals), -1, ids))
 
 
-@_jax.jit
-def _map_rows_bin(i, row_map):
-    safe = _jnp.maximum(i, 0)
-    return _jnp.where(i < 0, -1, _jnp.take(row_map, safe))
-
-
-def _pad_to_bucket(n: int, block_rows: int) -> int:
-    n_blocks = max(1, math.ceil(n / block_rows))
-    bucket = 1 << (n_blocks - 1).bit_length()
-    return bucket * block_rows
+from .flat import _map_rows as _map_rows_bin, _pad_to_bucket  # noqa: E402
 
 
 class BinaryQuantIndex:
@@ -155,6 +145,12 @@ class BinaryQuantIndex:
         import jax.numpy as jnp
 
         q = np.asarray(queries, dtype=np.float32)
+        if self.metric == "cosine":
+            # thresholds were learned on unit-normalized arena rows; raw
+            # queries (arbitrary scale) would pack near-all-ones codes and
+            # collapse the hamming ranking
+            q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True),
+                               1e-30)
         m = np.asarray(query_masks, dtype=np.uint32)
         nq = q.shape[0]
         cand_k = min(max(self.rerank_mult * k, k), self._bits.shape[0]) \

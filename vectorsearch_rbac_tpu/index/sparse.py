@@ -15,7 +15,6 @@ corpus-side scan).
 
 from __future__ import annotations
 
-import math
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -26,20 +25,9 @@ from ..ops.sparse_scan import (
 )
 from ..rbac.world import RBACWorld
 
-import jax as _jax
-import jax.numpy as _jnp
 
 
-@_jax.jit
-def _map_rows_sp(i, row_map):
-    safe = _jnp.maximum(i, 0)
-    return _jnp.where(i < 0, -1, _jnp.take(row_map, safe))
-
-
-def _pad_to_bucket(n: int, block_rows: int) -> int:
-    n_blocks = max(1, math.ceil(n / block_rows))
-    bucket = 1 << (n_blocks - 1).bit_length()
-    return bucket * block_rows
+from .flat import _map_rows as _map_rows_sp, _pad_to_bucket  # noqa: E402
 
 
 class SparseFlatIndex:

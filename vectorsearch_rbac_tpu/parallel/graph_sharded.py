@@ -123,8 +123,8 @@ class ShardedGraphSearcher:
 
     # ----------------------------------------------------------- dispatch
 
-    def _fn(self, qd: int, k: int, ef: int, ms: int):
-        key = (qd, k, ef, ms)
+    def _fn(self, qd: int, k: int, ef: int, ms: int, harvest: bool):
+        key = (qd, k, ef, ms, harvest)
         cached = self._fn_cache.get(key)
         if cached is not None:
             return cached
@@ -138,7 +138,8 @@ class ShardedGraphSearcher:
         def local(qb, mb, sb, eb, bb, g4, rm3, vec, nrm, bits):
             d, i = graph_beam_search_iterative(
                 qb[0], vec, nrm, bits, g4[0], mb[0], eb[0],
-                k=k, ef=ef, max_steps=ms, row_map=rm3[0], metric=metric,
+                k=k, ef=ef, max_steps=ms, harvest_2hop=harvest,
+                row_map=rm3[0], metric=metric,
                 pids=sb[0], step_budget=bb[0],
             )
             return d[None], i[None]
@@ -173,20 +174,24 @@ class ShardedGraphSearcher:
         """GraphProbeBatcher.run-compatible: execute probe jobs across the
         mesh; returns per job (dists (len(qsub), k), arena row ids).
 
-        Jobs are bucketed by pow2(ef) like the single-chip batcher — ef is
-        the beam WIDTH (a semantic parameter), so jobs with different ef
-        must not share a dispatch; max_steps rides as a traced per-query
-        budget within a bucket."""
+        Jobs are bucketed on (exact ef, harvest flag) — the SAME group key
+        as the single-chip batcher (ef is the beam WIDTH, a semantic
+        parameter, and harvest changes the kernel), so mesh and single-chip
+        serving return identical results for identical probe params;
+        max_steps rides as a traced per-query budget within a bucket."""
         out: List[Optional[Tuple[np.ndarray, np.ndarray]]] = [None] * len(jobs)
-        buckets: Dict[int, List[int]] = {}
+        buckets: Dict[Tuple[int, bool], List[int]] = {}
         for j, (pid, qsub, kw) in enumerate(jobs):
-            buckets.setdefault(
-                _pow2(int(kw.get("ef_search", 48))), []).append(j)
-        for ef_b, job_ids in sorted(buckets.items()):
-            self._run_bucket(queries, qmasks, jobs, job_ids, k, ef_b, out)
+            key = (int(kw.get("ef_search", 64)),
+                   bool(kw.get("harvest_2hop", False)))
+            buckets.setdefault(key, []).append(j)
+        for (ef_b, harv), job_ids in sorted(buckets.items()):
+            self._run_bucket(queries, qmasks, jobs, job_ids, k, ef_b, harv,
+                             out)
         return out  # type: ignore[return-value]
 
-    def _run_bucket(self, queries, qmasks, jobs, job_ids, k, ef_bucket, out):
+    def _run_bucket(self, queries, qmasks, jobs, job_ids, k, ef_bucket,
+                    harvest, out):
         import jax.numpy as jnp
 
         S = self.n_devices
@@ -200,7 +205,7 @@ class ShardedGraphSearcher:
                 pid, qsub, kw = jobs[j]
                 dev, slot = self.slot_of[pid]
                 ent = int(kw.get("entry_local", self.entry_of[pid]))
-                ms = int(kw.get("max_steps", 64))
+                ms = int(kw.get("max_steps", 256))
                 ms_max = max(ms_max, ms)
                 for qi in qsub:
                     dev_rows[dev].append((j, qi, slot, ent, ms))
@@ -224,7 +229,7 @@ class ShardedGraphSearcher:
                     bP[dev, r] = ms
 
         with self.timer.stage("device_scan"):
-            fn = self._fn(qd, kk, ef_eff, ms_bound)
+            fn = self._fn(qd, kk, ef_eff, ms_bound, harvest)
             d, i = fn(jnp.asarray(qP), jnp.asarray(mP), jnp.asarray(sP),
                       jnp.asarray(eP), jnp.asarray(bP),
                       self._g4, self._rm3, self._vec, self._nrm, self._bits)
@@ -247,13 +252,12 @@ class ShardedGraphSearcher:
             for j in job_ids:
                 pid, qsub, kw = jobs[j]
                 pairs = per_job.get(j, [])
-                dd = np.empty((len(qsub), k), np.float32)
-                ii = np.empty((len(qsub), k), np.int64)
-                for qi_local, (dv, iv) in enumerate(pairs):
-                    md, mi = merge_topk_host([dv[None]], [iv[None]], k)
-                    dd[qi_local] = md[0]
-                    ii[qi_local] = mi[0]
-                out[j] = (dd, ii)
+                # a job routes to ONE device, so pairs arrive in qsub order;
+                # one stacked merge per job (a per-query merge loop measured
+                # as the wall in the single-chip drain, partition/base.py)
+                dv = np.stack([p[0] for p in pairs])
+                iv = np.stack([p[1] for p in pairs])
+                out[j] = merge_topk_host([dv], [iv], k)
 
     def storage_report(self) -> Dict[str, float]:
         mb = 1024 * 1024

@@ -90,16 +90,19 @@ class GraphProbeBatcher:
         if len(by_class) > 1:
             cells = {s: s[0] * (s[1] + 1) * len(p)
                      for s, p in by_class.items()}
-            total_real = sum(
-                (graphs_np[p].shape[0] * (graphs_np[p].shape[1] + 1))
-                for ps in by_class.values() for p in ps)
             shapes = sorted(by_class, key=lambda s: (s[0], s[1]))
             merged: List[Tuple[int, int]] = []
             n_parts = 0
             for s in shapes:
                 cand = merged + [s]
                 n_cand = n_parts + len(by_class[s])
-                pad_cells = s[0] * (s[1] + 1) * n_cand
+                # pad target = the RUNNING (n_max, m_max) of the candidate
+                # set, not the current shape: m can SHRINK as n grows
+                # (bigger partitions often carry smaller M0), and the slab
+                # built below pads every member to (n_max, m_max)
+                n_run = max(c[0] for c in cand)
+                m_run = max(c[1] for c in cand)
+                pad_cells = n_run * (m_run + 1) * n_cand
                 real = sum(cells[c] for c in cand)
                 if pad_cells <= 3 * real:
                     merged = cand
