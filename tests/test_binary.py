@@ -157,3 +157,30 @@ def test_binary_partition_subset_maps_to_arena_ids(corpus, world):
     _, ids = idx.search(q, masks, 8)
     valid = ids[ids >= 0]
     assert len(valid) and (valid % 3 == 0).all()  # only subset rows returned
+
+
+def test_binary_cosine_query_normalization(corpus, world):
+    """Regression: on a cosine arena the thresholds are medians of UNIT
+    rows; raw-scale queries must be normalized before sign packing or the
+    codes degenerate (near-all-ones) and candidate ranking collapses.
+    Scaled queries must return the same results as unit queries."""
+    from vectorsearch_rbac_tpu.index.binary import BinaryQuantIndex
+
+    arena = build_device_arena(corpus, world, block_rows=256,
+                               metric="cosine")
+    idx = BinaryQuantIndex(arena, rows=None, block_rows=256, query_batch=32,
+                           rerank=True, rerank_mult=4)
+    rng = np.random.default_rng(9)
+    base = corpus.vectors[rng.integers(0, corpus.n, 12)]
+    q_unit = base / np.linalg.norm(base, axis=1, keepdims=True)
+    q_scaled = base * 387.0  # arbitrary large scale
+    masks = np.full((12, world.words), 0xFFFFFFFF, dtype=np.uint32)
+
+    d1, i1 = idx.search(q_unit, masks, k=5)
+    d2, i2 = idx.search(q_scaled, masks, k=5)
+    np.testing.assert_array_equal(i1, i2)
+
+    # and the results are actually good: the nearest cosine row of a
+    # corpus point is itself
+    hits = sum(1 for qi in range(12) if int(i2[qi, 0]) >= 0)
+    assert hits == 12
