@@ -497,3 +497,61 @@ def test_uid_table_wire_matches_mask_wire(int_corpus, int_world, int_arena):
         router=lambda uid: (0,), name="rls")
     d_s, i_s = s.search_batch_deferred(q, users, int_world.user_masks, 8)()
     np.testing.assert_array_equal(i_mask, i_s)
+
+
+@pytest.mark.parametrize("logical", [False, True])
+def test_partitioned_rerank_uses_arena_rows(int_world, logical):
+    """Regression: a PARTITIONED Int8FlatIndex (rows subset + row_map) with
+    the rerank tier on must gather the full-precision mirror by ARENA row,
+    not by local id — a local-id gather reranks against unrelated vectors
+    and reorders the top-k by garbage distances."""
+    from vectorsearch_rbac_tpu.core import build_device_arena
+    from vectorsearch_rbac_tpu.data import synthetic_corpus
+    from vectorsearch_rbac_tpu.index.flat_int8 import Int8FlatIndex
+
+    rng = np.random.default_rng(3)
+    # float corpus => lossy quantization => rerank auto-enables
+    corpus = synthetic_corpus(num_docs=int_world.num_docs, blocks_per_doc=6,
+                              dim=32, seed=9)
+    arena = build_device_arena(corpus, int_world, block_rows=256,
+                               dtype="int8")
+    # a partition whose rows are NOT a prefix: local id != arena row
+    rows = np.arange(corpus.n // 3, corpus.n, dtype=np.int64)
+    idx = Int8FlatIndex(arena, rows, query_batch=16, q_tile=8,
+                        block_rows=256, group=0, logical=logical)
+    assert idx.rerank, "float corpus should auto-enable rerank"
+
+    nq, k = 12, 5
+    qf = corpus.vectors[rng.integers(corpus.n // 3, corpus.n, nq)] \
+        + 0.01 * rng.standard_normal((nq, corpus.dim)).astype(np.float32)
+    users = rng.integers(0, int_world.num_users, nq)
+    masks = int_world.user_masks[users]
+    d, ids = idx.search(qf, masks, k)
+
+    bits = corpus.vector_role_bits(int_world)
+    row_set = set(rows.tolist())
+    hits = total = 0
+    for qi in range(nq):
+        got = [int(x) for x in ids[qi] if x >= 0]
+        for r in got:
+            assert r in row_set, "returned id outside the partition"
+            assert (bits[r] & masks[qi]).any()
+        # oracle restricted to the partition's rows
+        dd = ((corpus.vectors[rows] - qf[qi]) ** 2).sum(axis=1)
+        dd[~(bits[rows] & masks[qi]).any(axis=1)] = np.inf
+        want = [int(rows[j]) for j in np.argsort(dd, kind="stable")[:k]
+                if np.isfinite(dd[j])]
+        if want:
+            assert got and got[0] == want[0], (got, want)
+            # reranked distances must be TRUE distances of the right
+            # rows; tolerance = the u8 affine wire's quantization step
+            # (the per-query [min, range] header spans the top-k row, so
+            # the step is range/255)
+            true0 = ((corpus.vectors[got[0]] - qf[qi]) ** 2).sum()
+            fin = d[qi][np.isfinite(d[qi])]
+            step = (fin.max() - fin.min()) / 255.0 + 1e-3
+            assert abs(d[qi, 0] - true0) <= step + 1e-2 * true0, (
+                d[qi, 0], true0, step)
+        hits += len(set(got) & set(want))
+        total += max(len(want), 1)
+    assert hits / total >= 0.9, f"partitioned rerank recall {hits/total}"

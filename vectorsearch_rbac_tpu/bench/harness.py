@@ -75,7 +75,7 @@ def run_benchmark(
     oracle: GroundTruthOracle,
     k: Optional[int] = None,
     warmup_runs: int = 2,      # reference warms every query twice (:1368-1375)
-    timed_batches: int = 8,    # latency percentiles measured over micro-batches
+    timed_batches: int = 16,    # latency percentiles measured over micro-batches
     build_time_s: float = 0.0,
     recall_sample: Optional[int] = 2048,  # queries used for the recall
                                           # estimate (exact GT is the
@@ -182,10 +182,15 @@ def run_benchmark(
     # query at a time, main_role_partition_comparison.cpp query loop).
     # Throughput above amortizes batching; these do not, by design.
     nq = workload.num_queries
-    n_lat = min(max(timed_batches, 16), 64, nq)
+    n_lat = min(max(timed_batches, 1), nq)
     lat_idx = np.linspace(0, nq - 1, n_lat).astype(np.int64)
-    # warm the batch-1 compiled shape before timing
-    searcher.search_batch(q[:1], users[:1], masks, k)
+    # warm EVERY sampled query once before timing (the reference warms each
+    # query twice, common_function.py:1368): different queries can route to
+    # different partition classes, and each class's batch-1 dispatch shape
+    # compiles separately — a cold compile inside the timed loop would
+    # report minutes of XLA time as p99 latency
+    for qi in lat_idx:
+        searcher.search_batch(q[qi:qi + 1], users[qi:qi + 1], masks, k)
     per_query_ms: List[float] = []
     for qi in lat_idx:
         t0 = time.perf_counter()

@@ -150,6 +150,14 @@ def _lazy_jits():
             interpret=interpret, metric=kernel_metric, query_bias=bias_b,
             score_shift=score_shift,
         )
+        if row_map is not None:
+            # translate local -> arena rows BEFORE rerank: the mirror
+            # arrays are the ARENA's full-precision mirrors, so a
+            # partitioned index (gathered or logical) must gather them by
+            # arena row, not by local id
+            ii = jnp.where(ii < 0, -1,
+                           jnp.take(row_map, jnp.maximum(ii, 0)))
+            row_map = None
         if rerank:   # rerank tier
             if qf_b is not None:
                 qf = qf_b
@@ -369,15 +377,24 @@ class Int8FlatIndex:
         """Upload the (num_users, W) uint32 role-bitset table ONCE so
         search_deferred can ship 2-byte user ids instead of 16-byte mask
         rows (the pass is tunnel-bandwidth-bound; see _scan_pack). Cached
-        by array identity — repeat calls with the same table are free."""
+        by a CONTENT digest, not id(): an in-place permission revocation
+        must invalidate the resident table (serving stale masks is an
+        RBAC leak), and id() can be recycled across arrays."""
+        import hashlib
+
         import jax
 
-        key = id(user_masks)
-        if getattr(self, "_user_table_key", None) == key:
-            return
         tbl = np.ascontiguousarray(np.asarray(user_masks, dtype=np.uint32))
         if tbl.ndim != 2 or tbl.shape[0] > 65536:
-            return  # u16 wire ids can't address this table
+            # u16 wire ids can't address this table: drop any resident one
+            # so searches fall back to shipped mask rows
+            self._user_table = None
+            self._user_table_key = None
+            return
+        key = (tbl.shape,
+               hashlib.blake2b(tbl.tobytes(), digest_size=16).digest())
+        if getattr(self, "_user_table_key", None) == key:
+            return
         self._user_table = jax.device_put(tbl)
         self._user_table_key = key
 
@@ -398,6 +415,9 @@ class Int8FlatIndex:
             vq_d, nq_d, r8_d = self._vq, self._nq, self._r8
         qf = np.asarray(queries, dtype=np.float32)
         nq = qf.shape[0]
+        if nq == 0:
+            return lambda: (np.empty((0, k), np.float32),
+                            np.empty((0, k), np.int64))
         # the 2-byte uid wire needs a resident table covering every uid
         use_table = (user_ids is not None
                      and getattr(self, "_user_table", None) is not None

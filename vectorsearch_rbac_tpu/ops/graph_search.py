@@ -51,7 +51,13 @@ def graph_beam_search(
     query_masks: jax.Array,  # (Q, W) uint32
     entry: int,              # entry node id
     k: int,
-    ef: int,                 # beam width AND number of expansions
+    ef: int,                 # beam width; expansions = ef - 1 (the entry
+                             # node seeds the beam and the loop runs
+                             # fori_loop(1, ef)). The fitted cost models'
+                             # ef_offset absorbs this shift — do not
+                             # "fix" to ef without refitting (k, beta,
+                             # ef0) and re-measuring the committed
+                             # recall artifacts
     row_map: jax.Array = None,  # (n_local,) local -> arena row (no-copy mode)
     metric: str = "l2",      # "l2" | "ip" | "cosine" (pgvector operator
                              # family; cosine expects unit corpus rows and

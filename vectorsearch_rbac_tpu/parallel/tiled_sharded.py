@@ -30,17 +30,10 @@ from ..ops.tiled_scan import finish_scores, tiled_scan_core
 from ..ops.topk import merge_topk_host
 from ..utils.logger import get_logger
 from ..utils.tracing import StageTimer
-from ..partition.tiled import chunk_class
+from ..partition.tiled import _SMALL_CHUNKS, _pow2, chunk_class
 from .mesh import SHARD_AXIS, shard_map_compat
 
 logger = get_logger("parallel.tiled_sharded")
-
-
-def _pow2(n: int) -> int:
-    return 1 << (max(n, 1) - 1).bit_length()
-
-
-_SMALL_CHUNKS = 8
 
 
 def place_partitions(
@@ -176,11 +169,18 @@ class ShardedTiledSearcher:
 
         qt = self.q_tile
 
-        def local(q8b, m8b, cid, vecC, normC, roleC, rowC):
-            # block args carry a leading device axis of size 1
+        r_pad = self._quant.r_pad
+
+        def local(q8b, mkb, cid, vecC, normC, roleC, rowC):
+            # block args carry a leading device axis of size 1; role masks
+            # arrive as uint32 bitsets (16 B/query on the wire vs r_pad
+            # one-hot bytes) and expand on device, like the sibling engines
+            from ..ops.pallas_scan_int8 import expand_masks_device
+
             s, d = slots, q8b.shape[-1]
+            m8b = expand_masks_device(mkb[0], r_pad)
             top, idx = tiled_scan_core(
-                q8b[0].reshape(s, qt, d), m8b[0].reshape(s, qt, -1),
+                q8b[0].reshape(s, qt, d), m8b.reshape(s, qt, -1),
                 cid[0], vecC[0], normC[0], roleC[0], rowC[0],
                 k=k, chunks=cb, scan_group=self.scan_group,
                 score_shift=self._quant.score_shift,
@@ -238,8 +238,7 @@ class ShardedTiledSearcher:
 
         with self.timer.stage("quantize"):
             q8, qn = q.quantize_queries(queries)
-            m8 = q.quantize_masks(
-                qmasks, self.num_roles if self.num_roles else q.r_pad)
+            mk = np.ascontiguousarray(qmasks, dtype=np.uint32)
 
         # pow2 chunk classes like partition/tiled.py, but slots are laid
         # out PER DEVICE: dispatch shape (S, slots*qt, ...)
@@ -265,18 +264,18 @@ class ShardedTiledSearcher:
                              else _pow2(max(max(len(b) for b in batch), 1)))
                     q8P = np.zeros((S, s_pad * qt, q8.shape[1]), np.int8)
                     qnP = np.zeros((S, s_pad * qt), np.int32)
-                    m8P = np.zeros((S, s_pad * qt, m8.shape[1]), np.int8)
+                    mkP = np.zeros((S, s_pad * qt, mk.shape[1]), np.uint32)
                     cidP = np.zeros((S, s_pad, cb), np.int32)  # 0 = dummy
                     for dev in range(S):
                         for si, (pid, qidx) in enumerate(batch[dev]):
                             base = si * qt
                             q8P[dev, base:base + len(qidx)] = q8[qidx]
                             qnP[dev, base:base + len(qidx)] = qn[qidx]
-                            m8P[dev, base:base + len(qidx)] = m8[qidx]
+                            mkP[dev, base:base + len(qidx)] = mk[qidx]
                             cids = self.part_chunks[pid][dev]
                             cidP[dev, si, :len(cids)] = cids
                     fn = self._dispatch_fn(s_pad, cb, k)
-                    top, idx = fn(jnp.asarray(q8P), jnp.asarray(m8P),
+                    top, idx = fn(jnp.asarray(q8P), jnp.asarray(mkP),
                                   jnp.asarray(cidP), self._vecC, self._normC,
                                   self._roleC, self._rowC)
                     d, i = finish_scores(

@@ -156,7 +156,7 @@ def build_dynamic_searcher(
         return tuple(sorted(set(acc)))
 
     if packed and cfg.index.kind in ("flat", "flat_approx"):
-        if arena.quant is not None:
+        if arena.quant is not None and arena.metric == "l2":
             from ..tiled import TiledSearcher
             searcher = TiledSearcher(arena, partition_rows, router,
                                      name="dynamic", num_roles=world.num_roles,

@@ -325,7 +325,7 @@ def build_qdtree_searcher(
         return [tuple(leaf_ids[c] for c in cc) for cc in cols]
 
     if packed and cfg.index.kind in ("flat", "flat_approx"):
-        if arena.quant is not None:
+        if arena.quant is not None and arena.metric == "l2":
             from .tiled import TiledSearcher
             searcher = TiledSearcher(
                 arena, partition_rows,

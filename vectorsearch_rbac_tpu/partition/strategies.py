@@ -61,7 +61,7 @@ def build_role_searcher(
         return tuple(r for r in user_to_roles.get(uid, ()) if r in partition_rows)
 
     if packed and cfg.index.kind in ("flat", "flat_approx"):
-        if arena.quant is not None:
+        if arena.quant is not None and arena.metric == "l2":
             from .tiled import TiledSearcher
             return TiledSearcher(arena, partition_rows, router, name="role",
                                  num_roles=world.num_roles,
@@ -101,7 +101,7 @@ def build_comb_searcher(
         return (pid,) if pid is not None else ()
 
     if packed and cfg.index.kind in ("flat", "flat_approx"):
-        if arena.quant is not None:
+        if arena.quant is not None and arena.metric == "l2":
             from .tiled import TiledSearcher
             return TiledSearcher(arena, partition_rows, router, name="user",
                                  num_roles=world.num_roles,

@@ -54,7 +54,10 @@ _SLOTS_PER_DISPATCH = 64   # fixed slot count per dispatch (64 x q_tile=64
 
 
 class TiledSearcher:
-    """Partitioned strategy executor over packed int8 chunks."""
+    """Partitioned strategy executor over packed int8 chunks (L2 arenas:
+    the chunk engine's fused scoring and the cross-tier merge are squared-
+    L2; ip/cosine arenas route through the generic metric-aware
+    PartitionedSearcher engines instead — see build_*_searcher)."""
 
     def __init__(
         self,
@@ -99,6 +102,9 @@ class TiledSearcher:
         self.chunk_rows = chunk_rows
         self.q_tile = q_tile
         self.scan_group = scan_group
+        assert arena.metric == "l2", (
+            "TiledSearcher scores squared-L2; build the generic "
+            "partitioned engine for metric=" + str(arena.metric))
         self.timer = StageTimer()
         self._quant = q
 
