@@ -123,3 +123,67 @@ def test_per_role_workload_repetitions(small_world, small_corpus):
     assert wl.repetitions.max() == 2
     # repeated queries share vectors
     assert np.allclose(wl.vectors[0], wl.vectors[1])
+
+
+# ---- adaptive stream sampling (weather protocol, no device needed) ----
+
+COLLAPSED = [17.4, 0.3, 0.3, 0.3, 0.3, 9.9, 0.3, 1.5]   # 2026-08-19 capture
+CLEAN = [1.0, 0.9, 1.0, 1.1, 1.0, 0.9, 1.0, 1.1]
+
+
+def _sampler(script):
+    """Drive adaptive_stream_sampling over scripted per-stream walls."""
+    from vectorsearch_rbac_tpu.bench.harness import adaptive_stream_sampling
+
+    it = iter(script)
+    sleeps = []
+    t = [0.0]
+
+    def clock():
+        t[0] += 1.0
+        return t[0]
+
+    def run_stream():
+        return list(next(it)), np.zeros((1, 1), np.int64)
+
+    walls, means, ratios, ids = adaptive_stream_sampling(
+        run_stream, sleep=sleeps.append, clock=clock)
+    return walls, means, ratios, sleeps
+
+
+def test_stall_ratio_discriminates():
+    from vectorsearch_rbac_tpu.bench.harness import STALL_LIMIT, stall_ratio
+
+    assert stall_ratio(CLEAN) < 1.5            # good-weather stream
+    assert stall_ratio(COLLAPSED) > STALL_LIMIT  # collapsed-link stream
+
+
+def test_sampling_clear_weather_stops_at_four():
+    walls, means, ratios, sleeps = _sampler([CLEAN] * 10)
+    assert len(means) == 4                     # patience-3 stop, no extension
+    assert all(r < 3.0 for r in ratios)
+    assert len(walls) == 4 * len(CLEAN)
+    assert all(s == 25.0 for s in sleeps)      # normal decorrelation gaps
+
+
+def test_sampling_extends_through_collapse():
+    # four collapsed windows would previously record the collapsed mean;
+    # the extension keeps sampling until a clean window lands
+    walls, means, ratios, sleeps = _sampler([COLLAPSED] * 4 + [CLEAN] * 8)
+    assert len(means) == 5                     # stopped AT the clean stream
+    assert ratios[-1] < 3.0
+    assert min(means) == pytest.approx(np.mean(CLEAN))
+    assert 45.0 in sleeps                      # extension uses wider gaps
+
+
+def test_sampling_extension_is_bounded():
+    # collapse that never clears: stop at the +8-stream extension cap
+    walls, means, ratios, sleeps = _sampler([COLLAPSED] * 30)
+    assert len(means) == 4 + 8
+    assert min(ratios) > 3.0                   # honestly records the collapse
+
+
+def test_sampling_smoke_single_stream():
+    walls, means, ratios, sleeps = _sampler([[0.01] * 8] + [CLEAN] * 5)
+    assert len(means) == 1                     # tiny runs: one stream
+    assert sleeps == []

@@ -67,6 +67,113 @@ def compute_truth_sample(
     return oracle.compute(corpus, world, sample, k)
 
 
+def stall_ratio(stream_walls: List[float]) -> float:
+    """Stall-domination of one stream's pass walls: mean / median.
+
+    A clean stream's walls are tightly grouped around the pipeline's
+    steady state (ratio ~1.1-1.3 measured in good weather). A stream
+    whose time went to the tunnel's multi-second stall events carries
+    2-3 huge walls over a fast median — the collapsed 2026-08-19 capture
+    (8.5k QPS vs 86.9k ten minutes earlier) had ratio ~9 on every
+    stream. The ratio separates "the link was collapsed" from "the
+    framework is this fast" without reference to any external baseline.
+    """
+    med = float(np.median(stream_walls))
+    if med <= 0:
+        return 1.0
+    return (float(np.sum(stream_walls)) / len(stream_walls)) / med
+
+
+# a stream whose mean exceeds STALL_LIMIT x its median wall spent most of
+# its wall inside tunnel stall events; its mean is weather, not serving
+STALL_LIMIT = 3.0
+
+
+def adaptive_stream_sampling(
+    run_stream,               # () -> (pass walls [s], last pass ids)
+    n_passes: int = 8,
+    max_streams: int = 10,
+    patience_limit: int = 3,
+    min_gain: float = 1.03,
+    ext_budget_s: float = 480.0,
+    ext_gap_s: float = 45.0,
+    ext_extra: int = 8,
+    sleep=time.sleep,
+    clock=time.perf_counter,
+):
+    """ADAPTIVE weather-decorrelated stream sampling.
+
+    Tunnel weather windows last minutes, so a fixed 4 streams can land
+    entirely inside one congested window (measured 2026-08-18: all four
+    stream means 44-64k QPS with 1-2 s stalls in every stream, vs
+    108-119k in clear weather). Keep sampling new decorrelated windows
+    (25 s gaps) until `patience_limit` consecutive streams fail to
+    improve the best mean by >(min_gain-1), up to `max_streams`. Clear
+    weather: stream 1 is clean, 3 non-improving confirmations, stop at
+    4 — identical cost to a fixed-4 protocol.
+
+    COLLAPSE extension: if EVERY sampled stream is stall-dominated
+    (stall_ratio > STALL_LIMIT — the link was collapsed for the whole
+    sampling span; measured 2026-08-19: four streams with identical
+    ~17 s first-pass + ~10 s mid-stream stalls recorded 8.5k QPS where
+    the same protocol measured 86.9k ten minutes earlier), patience
+    alone stops at 4 equally-bad streams. Keep sampling wider-spaced
+    (`ext_gap_s`) windows within a bounded extra budget, stopping the
+    moment one clean (non-stall-dominated) stream lands. Clear weather
+    never triggers this (ratio ~1.1-1.3).
+
+    Returns (all pass walls in order, stream means, stream stall
+    ratios, last pass's ids).
+    """
+    walls: List[float] = []
+    stream_means: List[float] = []
+    stream_ratios: List[float] = []
+    patience = 0
+    extending = False
+    ext_start = 0.0
+    ext_limit = 0      # total-stream cap once extension starts
+    s = 0
+    ids = None
+    while True:
+        if s and stream_means[-1] * n_passes > 2.0:
+            # decorrelation gap only at real workload scale — tiny
+            # test/smoke streams don't fight tunnel weather
+            sleep(ext_gap_s if extending else 25.0)
+        swalls, ids = run_stream()
+        mean = float(np.sum(swalls)) / len(swalls)
+        walls.extend(swalls)
+        if stream_means and min(stream_means) > mean * min_gain:
+            patience = 0            # material improvement: keep going
+        else:
+            patience += 1
+        stream_means.append(mean)
+        stream_ratios.append(stall_ratio(swalls))
+        s += 1
+        if mean * n_passes <= 2.0:  # tiny smoke runs: one stream
+            break
+        if extending:
+            if (stream_ratios[-1] <= STALL_LIMIT
+                    or s >= ext_limit
+                    or clock() - ext_start > ext_budget_s):
+                break
+            continue
+        if (s >= max_streams
+                or (len(stream_means) >= 4 and patience >= patience_limit)):
+            best = int(np.argmin(stream_means))
+            if min(stream_ratios) > STALL_LIMIT:
+                extending = True
+                ext_limit = s + ext_extra
+                ext_start = clock()
+                logger.info(
+                    "all %d streams stall-dominated (best mean %.2fs, "
+                    "ratio %.1f) — extending sampling up to %ds for a "
+                    "clean weather window", s, stream_means[best],
+                    stream_ratios[best], int(ext_budget_s))
+                continue
+            break
+    return walls, stream_means, stream_ratios, ids
+
+
 def run_benchmark(
     searcher: PartitionedSearcher,
     corpus: Corpus,
@@ -125,48 +232,30 @@ def run_benchmark(
     # visible.
     deferred = getattr(searcher, "search_batch_deferred", None)
     walls = []            # every timed pass wall, all streams, in order
+    stream_means: List[float] = []
+    stream_ratios: List[float] = []
     if deferred is not None:
-        # ADAPTIVE stream count: tunnel weather windows last minutes, so a
-        # fixed 4 streams can land entirely inside one congested window
-        # (measured 2026-08-18: all four stream means 44-64k QPS with
-        # 1-2 s stalls in every stream, vs 108-119k in clear weather).
-        # Keep sampling new decorrelated windows until 3 consecutive
-        # streams fail to improve the best mean by >3% (patience), up to
-        # 10 windows. Clear weather: stream 1 is clean, 3 non-improving
-        # confirmations, stop at 4 — identical cost to the old protocol.
         n_passes, depth = 8, 5
-        max_streams, patience_limit, min_gain = 10, 3, 1.03
-        stream_means = []
-        patience = 0
-        for s in range(max_streams):
-            if s and stream_means[-1] * n_passes > 2.0:
-                # decorrelation gap only at real workload scale — tiny
-                # test/smoke streams don't fight tunnel weather
-                time.sleep(25.0)
+
+        def _run_stream():
             swalls = []
             fins = [deferred(q, users, masks, k)
                     for _ in range(min(depth - 1, n_passes))]   # prime
             enqueued = len(fins)
+            ids_last = None
             t_prev = time.perf_counter()
             for p in range(n_passes):
                 if enqueued < n_passes:
                     fins.append(deferred(q, users, masks, k))
                     enqueued += 1
-                dists, ids = fins.pop(0)()
+                dists, ids_last = fins.pop(0)()
                 now = time.perf_counter()
                 swalls.append(now - t_prev)
                 t_prev = now
-            mean = float(np.sum(swalls)) / len(swalls)
-            walls.extend(swalls)
-            if stream_means and min(stream_means) > mean * min_gain:
-                patience = 0            # material improvement: keep going
-            else:
-                patience += 1
-            stream_means.append(mean)
-            if len(stream_means) >= 4 and patience >= patience_limit:
-                break
-            if mean * n_passes <= 2.0:  # tiny smoke runs: one stream
-                break
+            return swalls, ids_last
+
+        walls, stream_means, stream_ratios, ids = adaptive_stream_sampling(
+            _run_stream, n_passes=n_passes)
         wall = min(stream_means)
     else:
         n_passes = 11
@@ -233,6 +322,8 @@ def run_benchmark(
             batched_ms_per_query=wall / nq * 1000.0,
             latency_sample=n_lat,
             pass_walls_ms=[round(w * 1000.0, 1) for w in walls],
+            stream_means_ms=[round(m * 1000.0, 1) for m in stream_means],
+            stream_stall_ratios=[round(r, 2) for r in stream_ratios],
         ),
     )
     logger.info(
