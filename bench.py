@@ -53,6 +53,11 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--batch", type=int, default=0,
                     help="serving query batch (0 = strategy default)")
+    ap.add_argument("--per-query", default="",
+                    help="write per-query JSON records (recall, batch-1 "
+                         "latency, result rows) to this path — the analog "
+                         "of the reference's per-query result dumps "
+                         "(common_function.py:1427)")
     args = ap.parse_args()
 
     if args.smoke:
@@ -151,10 +156,15 @@ def main():
     strat_build_s = time.perf_counter() - t0
     log(f"strategy '{args.strategy}' build: {strat_build_s:.2f}s")
 
+    # 256 batch-1 dispatches for the latency percentiles (the reference
+    # measures 300 per-query walls, main_role_partition_comparison.cpp:510);
+    # smoke keeps the old tiny sample so CI stays fast
     res = run_benchmark(searcher, corpus, world, workload, None,
-                        k=args.topk, warmup_runs=2, timed_batches=8,
+                        k=args.topk, warmup_runs=2,
+                        timed_batches=8 if args.smoke else 256,
                         build_time_s=build_s + strat_build_s,
-                        recall_sample=2048, truth=truth)
+                        recall_sample=2048, truth=truth,
+                        per_query_path=args.per_query or None)
     log(res.to_json())
 
     build_per_1m = (build_s + strat_build_s) * (1_000_000 / max(corpus.n, 1))

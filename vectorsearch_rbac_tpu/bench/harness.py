@@ -77,10 +77,13 @@ def stall_ratio(stream_walls: List[float]) -> float:
     (8.5k QPS vs 86.9k ten minutes earlier) had ratio ~9 on every
     stream. The ratio separates "the link was collapsed" from "the
     framework is this fast" without reference to any external baseline.
+
+    A non-positive median (impossible with real perf_counter deltas) is
+    treated as stall-dominated (inf), never clean.
     """
     med = float(np.median(stream_walls))
     if med <= 0:
-        return 1.0
+        return float("inf")
     return (float(np.sum(stream_walls)) / len(stream_walls)) / med
 
 
@@ -135,6 +138,9 @@ def adaptive_stream_sampling(
     s = 0
     ids = None
     while True:
+        if extending and clock() - ext_start + ext_gap_s > ext_budget_s:
+            break  # budget can't cover the gap + another stream: stop
+                   # BEFORE launching, not one full stream after
         if s and stream_means[-1] * n_passes > 2.0:
             # decorrelation gap only at real workload scale — tiny
             # test/smoke streams don't fight tunnel weather
@@ -257,6 +263,17 @@ def run_benchmark(
         walls, stream_means, stream_ratios, ids = adaptive_stream_sampling(
             _run_stream, n_passes=n_passes)
         wall = min(stream_means)
+        if stream_ratios and min(stream_ratios) > STALL_LIMIT:
+            # every sampled stream (extension included) was stall-dominated:
+            # the returned qps measures the collapsed link, not the framework
+            weather_collapsed = True
+            logger.warning(
+                "WEATHER COLLAPSED: all %d streams stall-dominated (best "
+                "ratio %.1f > %.1f) — reported qps is a lower bound set by "
+                "the shared tunnel, not by serving", len(stream_ratios),
+                min(stream_ratios), STALL_LIMIT)
+        else:
+            weather_collapsed = False
     else:
         n_passes = 11
         for _ in range(n_passes):
@@ -264,11 +281,12 @@ def run_benchmark(
             dists, ids = searcher.search_batch(q, users, masks, k)
             walls.append(time.perf_counter() - t0)
         wall = float(np.median(walls))
+        weather_collapsed = False
 
     # latency distribution: TRUE batch-1 dispatches over a query sample —
     # one query per search_batch call, timed individually, so p50/p95/p99
     # are per-query numbers comparable to the reference's (which times one
-    # query at a time, main_role_partition_comparison.cpp query loop).
+    # query at a time, 300 queries, main_role_partition_comparison.cpp:510).
     # Throughput above amortizes batching; these do not, by design.
     nq = workload.num_queries
     n_lat = min(max(timed_batches, 1), nq)
@@ -286,9 +304,23 @@ def run_benchmark(
         searcher.search_batch(q[qi:qi + 1], users[qi:qi + 1], masks, k)
         per_query_ms.append((time.perf_counter() - t0) * 1000.0)
 
+    # stall filtering: a batch-1 dispatch that lands inside a tunnel stall
+    # event records seconds of link outage, not serving latency (measured
+    # round-3: p99 446 ms on 8 samples — one stall). Walls above
+    # STALL_LIMIT x the sample median are weather; percentiles are reported
+    # over the CLEAN walls, raw walls stay in extra for audit. On a
+    # directly-attached TPU host nothing is filtered (no stalls to hit).
+    lat_arr = np.asarray(per_query_ms)
+    lat_med = float(np.median(lat_arr))
+    clean = lat_arr[lat_arr <= STALL_LIMIT * lat_med]
+    n_stalled = int(lat_arr.size - clean.size)
+    if clean.size == 0:
+        clean = lat_arr
+
     recall = compute_recall(ids[:ns], truth)
 
     if per_query_path:
+        lat_by_qi = {int(qi): ms for qi, ms in zip(lat_idx, per_query_ms)}
         records = []
         for qi in range(ns):
             want = set(int(x) for x in truth[qi] if x >= 0)
@@ -297,6 +329,8 @@ def run_benchmark(
                 "user_id": int(users[qi]),
                 "query_block_selectivity": float(workload.selectivities[qi]),
                 "recall": (len(set(got) & want) / len(want)) if want else 1.0,
+                "batch1_latency_ms": lat_by_qi.get(qi),  # null: not in the
+                                                         # batch-1 sample
                 "result_rows": got,
             })
         with open(per_query_path, "w") as f:
@@ -307,10 +341,10 @@ def run_benchmark(
         topk=k,
         avg_recall=recall,
         qps=nq / wall,
-        avg_query_time_ms=float(np.mean(per_query_ms)),
-        p50_ms=float(np.percentile(per_query_ms, 50)),
-        p95_ms=float(np.percentile(per_query_ms, 95)),
-        p99_ms=float(np.percentile(per_query_ms, 99)),
+        avg_query_time_ms=float(np.mean(clean)),
+        p50_ms=float(np.percentile(clean, 50)),
+        p95_ms=float(np.percentile(clean, 95)),
+        p99_ms=float(np.percentile(clean, 99)),
         avg_block_selectivity=float(np.mean(workload.selectivities)),
         storage=searcher.storage_report(),
         build_time_s=build_time_s,
@@ -321,6 +355,10 @@ def run_benchmark(
             } if getattr(searcher, "timer", None) else {},
             batched_ms_per_query=wall / nq * 1000.0,
             latency_sample=n_lat,
+            latency_stall_filtered=n_stalled,
+            latency_raw_p99_ms=float(np.percentile(lat_arr, 99)),
+            latency_raw_max_ms=float(np.max(lat_arr)),
+            weather_collapsed=weather_collapsed,
             pass_walls_ms=[round(w * 1000.0, 1) for w in walls],
             stream_means_ms=[round(m * 1000.0, 1) for m in stream_means],
             stream_stall_ratios=[round(r, 2) for r in stream_ratios],
