@@ -53,6 +53,15 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--batch", type=int, default=0,
                     help="serving query batch (0 = strategy default)")
+    ap.add_argument("--wire", default="",
+                    choices=["", "ids", "u8", "bf16", "f32"],
+                    help="result wire coding (default: 'ids' for the rls "
+                         "global path, 'u8' otherwise). 'ids' ships a u16 "
+                         "count + 20-bit row ids and NO distances — exact "
+                         "parity with the reference baseline, whose timed "
+                         "result path is vector<pair<doc_id,block_id>> "
+                         "(main_role_partition_comparison.cpp:629); recall "
+                         "is computed on ids in both systems")
     ap.add_argument("--per-query", default="",
                     help="write per-query JSON records (recall, batch-1 "
                          "latency, result rows) to this path — the analog "
@@ -120,6 +129,8 @@ def main():
     cfg.search.batch_size = args.batch or (2048 if args.strategy == "rls" else 1024)
     cfg.search.topk = args.topk
     cfg.search.dtype = args.dtype
+    cfg.search.wire_dist = args.wire or ("ids" if args.strategy == "rls"
+                                         else "u8")
     cfg.index.kind = args.index
 
     workload = generate_query_workload(

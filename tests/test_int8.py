@@ -306,6 +306,17 @@ def test_wire_format_roundtrip():
                                      dist16=False)
         np.testing.assert_array_equal(i3, i)
         np.testing.assert_array_equal(d3[fin], d[fin])
+        # ids-only wire (the reference baseline's id-only result protocol):
+        # ids exact, dists become ascending rank pseudo-dists / +inf
+        wire_ids = pack_results_device(jnp.asarray(d), jnp.asarray(i),
+                                       id_bits=id_bits, dist="ids")
+        assert wire_ids.shape[1] < wire32.shape[1]
+        d4, i4 = unpack_results_host(wire_ids, k, id_bits=id_bits,
+                                     dist="ids")
+        np.testing.assert_array_equal(i4, i)
+        assert np.isinf(d4[2, 3:]).all()
+        np.testing.assert_array_equal(d4[2, :3], [0.0, 1.0, 2.0])
+        assert (np.diff(d4[0]) > 0).all()
 
 
 def test_expand_masks_device_matches_host():

@@ -224,12 +224,16 @@ class Int8FlatIndex:
         rerank: Optional[bool] = None,  # None = auto (rerank iff lossy)
         rerank_margin: int = 32,
         dist16: bool = True,   # legacy wire flag: bf16 (True) / f32 (False)
-        wire: Optional[str] = None,  # "u8" | "bf16" | "f32" — overrides
-                               # dist16. u8 (per-query affine distance code,
-                               # 3.6 B/result) is the global-path default
-                               # via cfg.search.wire_dist: measured 40k ->
+        wire: Optional[str] = None,  # "ids" | "u8" | "bf16" | "f32" —
+                               # overrides dist16. u8 (per-query affine
+                               # distance code, 3.6 B/result) measured 40k ->
                                # 71k QPS on the 16k-query 1M pass
-                               # (scripts/r3_perf_lab.py). f32 for partition
+                               # (scripts/r3_perf_lab.py). "ids" drops the
+                               # distance section entirely (2.52 B/result;
+                               # host gets rank pseudo-dists) — exact parity
+                               # with the reference baseline's id-only result
+                               # path (main_role_partition_comparison.cpp:629
+                               # vector<pair<doc,block>>). f32 for partition
                                # tiers feeding a cross-partition merge.
         rerank_dequant: Optional[bool] = None,  # rerank with device-dequantized
                                # queries instead of uploading f32 queries

@@ -405,6 +405,17 @@ def pack_results_device(dists: jax.Array, idx: jax.Array,
       absolute error (range/254) is usually FINER than bf16 inside a tight
       top-k band. Measured on-chip: the u8 wire moved the 16k-query pass
       from 40k to 71k QPS (scripts/r3_perf_lab.py round-3).
+    - "ids": NO distances — a u16 valid-count header + the id sections
+      only (2.52 B/result at 1M rows, the fixed-width entropy floor).
+      This is exact parity with the reference's result path: both the
+      SQL protocol's recall consumer (common_function.py:1396, set of
+      (document_id, block_id) pairs) and the C++ headline baseline
+      (main_role_partition_comparison.cpp:629, vector<pair<int,int>>)
+      ship ids ONLY — distances never cross the baseline's result path.
+      The host side returns RANK pseudo-distances (0..k-1, +inf on empty
+      slots): results stay ascending-ordered, but callers that need
+      distance VALUES (cross-partition merges, distance-radius filters)
+      must use u8/bf16/f32.
 
     Empty slots travel as dist=+inf (code 255 in u8), id=0 — the HOST side
     restores -1 (an id sentinel would collide with a valid row at exact
@@ -416,7 +427,11 @@ def pack_results_device(dists: jax.Array, idx: jax.Array,
     hi_bits, per, n_hi = _hi_pack_geometry(k, id_bits)
     empty = ~jnp.isfinite(dists)
     idc = jnp.where(empty, 0, idx)
-    if dist == "bf16":
+    if dist == "ids":
+        # results are distance-sorted, so empties are a suffix: one u16
+        # valid-count header replaces the whole distance section
+        d16 = jnp.sum(~empty, axis=1).astype(jnp.uint16)[:, None]
+    elif dist == "bf16":
         d16 = jax.lax.bitcast_convert_type(
             dists.astype(jnp.bfloat16), jnp.uint16)
     elif dist == "u8":
@@ -468,7 +483,13 @@ def unpack_results_host(arr, k: int, id_bits: int = 24, dist16: bool = True,
         dist = "bf16" if dist16 else "f32"
     hi_bits, per, n_hi = _hi_pack_geometry(k, id_bits)
     a = np.asarray(arr)
-    if dist == "bf16":
+    if dist == "ids":
+        count = a[:, :1].astype(np.int32)                  # (Q, 1)
+        rank = np.arange(k, dtype=np.int32)[None, :]
+        empty = rank >= count
+        d = rank.astype(np.float32) * np.ones((a.shape[0], 1), np.float32)
+        off = 1
+    elif dist == "bf16":
         # bf16 -> f32: the bf16 bit pattern is the high half of the f32 one
         d = (a[:, :k].astype(np.uint32) << 16).view(np.float32)
         empty = ~np.isfinite(d)

@@ -34,7 +34,11 @@ class SearchConfig:
     wire_dist: str = "u8"        # global-path result-distance wire coding:
                                  # "u8" per-query affine byte (3.6 B/result,
                                  # measured 40k -> 71k QPS through the
-                                 # tunnel), "bf16", or "f32" (exact)
+                                 # tunnel), "bf16", "f32" (exact), or "ids"
+                                 # (no distances: u16 count + 20-bit ids,
+                                 # 2.52 B/result — the reference baseline's
+                                 # own id-only result protocol; callers get
+                                 # rank pseudo-dists)
 
 
 @dataclass
