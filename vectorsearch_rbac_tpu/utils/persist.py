@@ -51,6 +51,95 @@ def load_npz(path: str):
     return state, meta
 
 
+def save_arena_snapshot(arena, path: str, with_mirror: bool = None) -> None:
+    """COLD-START persistence of a built serving arena (VERDICT-r3 item 5;
+    the pgvector analog is the disk-resident index the reference's ACORN
+    suite re-reads per query, acorn_benchmark/src/acorn_search.cpp:144).
+
+    Saves everything load_arena_snapshot needs to reconstruct the arena
+    WITHOUT the corpus and WITHOUT re-quantizing: the int8 quant arrays,
+    role bitsets, norms, ids, and quantization params. The full-precision
+    mirror (rerank path) is stored as bf16 only when the quantization is
+    lossy (`with_mirror=None` auto); for lossless corpora the mirror is
+    rebuilt exactly from the int8 codes at load time (x = x_q/scale +
+    center), so a SIFT-shaped 1M arena snapshot is ~290 MB instead of
+    ~550 MB. Uncompressed npz: load time is dominated by disk read +
+    device upload, and int8 codes barely compress."""
+    _ensure_dir(path)
+    q = arena.quant
+    assert q is not None, "arena snapshots require the int8 serving arena"
+    if with_mirror is None:
+        with_mirror = not q.lossless
+    hv = (q.host_vectors_q if q.host_vectors_q is not None
+          else np.asarray(q.vectors_q))
+    hn = (q.host_norms_q if q.host_norms_q is not None
+          else np.asarray(q.norms_q))
+    hr = (q.host_roles8 if q.host_roles8 is not None
+          else np.asarray(q.roles8))
+    bits = (arena.host_bits if arena.host_bits is not None
+            else np.asarray(arena.role_bits))
+    state = dict(
+        vq=hv, nq=hn, roles8=hr, bits=bits,
+        norms=(arena.host_norms if arena.host_norms is not None
+               else np.asarray(arena.norms)).astype(np.float32),
+        doc_ids=arena.doc_ids, block_ids=arena.block_ids,
+        center=q.center.astype(np.float32),
+    )
+    if with_mirror:
+        mirr = (arena.host_vectors if arena.host_vectors is not None
+                else np.asarray(arena.vectors, dtype=np.float32))
+        import jax.numpy as jnp
+
+        state["mirror_bf16"] = np.asarray(
+            jnp.asarray(mirr).astype(jnp.bfloat16)).view(np.uint16)
+    np.savez(path, __meta__=json.dumps(dict(
+        n=int(arena.n), metric=arena.metric, scale=float(q.scale),
+        qclip=int(q.qclip), lossless=bool(q.lossless),
+        with_mirror=bool(with_mirror))), **state)
+
+
+def load_arena_snapshot(path: str, device=None):
+    """Inverse of save_arena_snapshot: npz -> device-resident DeviceArena,
+    skipping corpus generation AND quantization. The float mirror comes
+    from the stored bf16 (lossy corpora) or an exact dequantization of the
+    int8 codes (lossless)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..core import ArenaQuant, DeviceArena
+
+    state, meta = load_npz(path)
+    put = (lambda x: jax.device_put(x, device)) if device is not None \
+        else jax.device_put
+    vq, nq_, roles8 = state["vq"], state["nq"], state["roles8"]
+    center = state["center"]
+    scale = float(meta["scale"])
+    d = len(center)
+    if meta.get("with_mirror"):
+        mirr16 = state["mirror_bf16"]
+        vec_d = put(jnp.asarray(mirr16).view(jnp.bfloat16))
+        host_vec = np.asarray(jnp.asarray(mirr16).view(jnp.bfloat16),
+                              dtype=np.float32)
+    else:
+        host_vec = (vq[:, :d].astype(np.float32) / scale + center[None, :])
+        host_vec[int(meta["n"]):] = 0.0   # padding rows are zero, not center
+        vec_d = put(jnp.asarray(host_vec).astype(jnp.bfloat16))
+    quant = ArenaQuant(
+        vectors_q=put(vq), norms_q=put(nq_), roles8=put(roles8),
+        scale=scale, center=center, lossless=bool(meta["lossless"]),
+        qclip=int(meta["qclip"]),
+        host_vectors_q=vq, host_norms_q=nq_, host_roles8=roles8,
+    )
+    return DeviceArena(
+        vectors=vec_d, norms=put(state["norms"]),
+        role_bits=put(state["bits"]), n=int(meta["n"]),
+        doc_ids=state["doc_ids"], block_ids=state["block_ids"],
+        host_vectors=host_vec, host_norms=state["norms"],
+        host_bits=state["bits"], vectors_aug=None, quant=quant,
+        metric=meta.get("metric", "l2"),
+    )
+
+
 def save_params(params, path: str) -> None:
     """Fitted cost-model params (the parameter_hnsw.json analog). A
     `family` tag records which model class the numbers belong to so
