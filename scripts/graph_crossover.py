@@ -1,0 +1,174 @@
+"""Graph-vs-flat crossover sweep (VERDICT-r3 item 3): where (if anywhere)
+does the slab-batched HNSW beat the fused int8 flat scan on TPU?
+
+Round-3 data points (graph never won): hybrid graph serving 11.6k QPS
+@0.9978 vs tiled int8 flat 38.1k @0.9992 on the same 1M plan. This sweep
+isolates the SINGLE-INDEX question the planner actually faces — serve a
+partition of n rows at within-index selectivity s — over
+n x d x selectivity, both engines on identical corpora/workloads:
+
+  d=128: n in {131k, 262k, 524k, 1M (+2M if time)}, sel 1.0 at each n,
+         sel in {0.005, 0.036, 0.2, 1.0} at n=1M
+  d=768: n in {131k, 262k}, sel {0.036, 1.0}
+
+Selectivity design: ONE world with 4 roles — role 3 covers all docs
+(sel 1.0), role 2 p=0.2, role 1 p=0.036, role 0 p=0.005 — and 4 users,
+user u holding exactly role u. A query's user id selects its
+within-index selectivity class. The flat scan's cost is selectivity-
+independent; the graph pays more hops as selectivity drops (the ACORN
+regime, reference acorn_benchmark/readme.md) — this sweep bounds where
+that tax leaves graphs competitive.
+
+Writes results/graph_crossover.json.
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/graph_crossover.py [--big]
+"""
+
+import argparse
+import gc
+import json
+import time
+
+import numpy as np
+
+from vectorsearch_rbac_tpu.bench.ground_truth import compute_recall
+from vectorsearch_rbac_tpu.core import Corpus, build_device_arena
+from vectorsearch_rbac_tpu.index.flat_int8 import Int8FlatIndex
+from vectorsearch_rbac_tpu.index.hnsw import HNSWIndex
+from vectorsearch_rbac_tpu.rbac.world import RBACWorld
+
+TOPK = 10
+NQ = 4096
+SELS = {0: 0.005, 1: 0.036, 2: 0.2, 3: 1.0}
+
+
+def make_world(num_docs: int, seed: int) -> RBACWorld:
+    rng = np.random.default_rng(seed)
+    role_to_docs = {3: frozenset(range(num_docs))}
+    for role, p in ((2, 0.2), (1, 0.036), (0, 0.005)):
+        role_to_docs[role] = frozenset(
+            np.flatnonzero(rng.random(num_docs) < p).tolist())
+    return RBACWorld(num_users=4, num_roles=4, num_docs=num_docs,
+                     user_to_roles={u: (u,) for u in range(4)},
+                     role_to_docs=role_to_docs)
+
+
+def corpus_for(n: int, d: int, seed: int):
+    from vectorsearch_rbac_tpu.data import sift_like_corpus
+
+    if d == 128:
+        return sift_like_corpus(num_vectors=n, blocks_per_doc=100,
+                                seed=seed)
+    # 768-d: clustered unit-ball corpus, SIFT-style integer quantized so
+    # the int8 path is lossless and both engines face identical data
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((256, d)).astype(np.float32) * 0.5
+    assign = rng.integers(0, 256, n)
+    v = centers[assign] + rng.standard_normal((n, d)).astype(np.float32)
+    v = np.clip(np.rint(v * 24 + 128), 0, 255).astype(np.float32)
+    qpool = v[rng.choice(n, 8192, replace=False)] + rng.standard_normal(
+        (8192, d)).astype(np.float32) * 2
+    qpool = np.clip(np.rint(qpool), 0, 255).astype(np.float32)
+    doc_ids = (np.arange(n) // 100).astype(np.int32)
+    block_ids = (np.arange(n) % 100).astype(np.int32)
+    return Corpus(vectors=v, doc_ids=doc_ids, block_ids=block_ids), qpool
+
+
+def measure_case(corpus, qpool, world, n, d, sels, out, tag):
+    t0 = time.perf_counter()
+    arena = build_device_arena(corpus, world, block_rows=65536,
+                               dtype="int8")
+    print(f"[{tag}] arena {time.perf_counter()-t0:.0f}s", flush=True)
+
+    rng = np.random.default_rng(7)
+    queries = qpool[rng.choice(len(qpool), NQ, replace=False)].astype(
+        np.float32)
+
+    flat = Int8FlatIndex(arena, None, query_batch=2048, q_tile=2048,
+                         block_rows=8192, group=min(128, max(8, n // 8192)))
+    flat.set_user_table(world.user_masks)
+
+    t0 = time.perf_counter()
+    graph = HNSWIndex(arena, None, m=16, ef_construction=64, ef_search=40,
+                      query_batch=1024)
+    build_s = time.perf_counter() - t0
+    print(f"[{tag}] hnsw build {build_s:.0f}s", flush=True)
+
+    for uid, sel in sels.items():
+        users = np.full(NQ, uid)
+        masks = world.user_masks[users]
+        # exact oracle on the same int8 values (lossless corpus): flat
+        # exact merge is the reference
+        td, ti = flat.search(queries, masks, TOPK)
+
+        def timed(fn, passes=3):
+            fn()                       # warm + compile
+            t = time.perf_counter()
+            for _ in range(passes):
+                dd, ii = fn()
+            return (time.perf_counter() - t) / passes, dd, ii
+
+        wall_f, fd, fi = timed(lambda: flat.search(queries, masks, TOPK))
+        # graph: sampled entries + iterative rescan, the round-3 best leg
+        wall_g, gd, gi = timed(lambda: graph.search(
+            queries, masks, TOPK, sampled_entry=True,
+            max_steps=64 if sel >= 0.2 else 96))
+        rec_f = compute_recall(fi, ti)
+        rec_g = compute_recall(gi, ti)
+        row = {
+            "n": n, "d": d, "selectivity": sel,
+            "flat_qps": round(NQ / wall_f, 1),
+            "flat_recall": round(rec_f, 4),
+            "graph_qps": round(NQ / wall_g, 1),
+            "graph_recall": round(rec_g, 4),
+            "graph_build_s": round(build_s, 1),
+            "winner": "graph" if (NQ / wall_g > NQ / wall_f
+                                  and rec_g >= 0.95) else "flat",
+        }
+        out["cases"].append(row)
+        print(f"[{tag}] sel={sel}: flat {row['flat_qps']} QPS "
+              f"@{row['flat_recall']} | graph {row['graph_qps']} QPS "
+              f"@{row['graph_recall']} -> {row['winner']}", flush=True)
+    del arena, flat, graph
+    gc.collect()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--big", action="store_true",
+                    help="include the 2M x 128 point")
+    args = ap.parse_args()
+    out = {"config": f"top-{TOPK}, {NQ} queries, slab-batched HNSW "
+                     "(sampled entries + iterative rescan) vs fused int8 "
+                     "flat scan; within-index selectivity via 4-role world",
+           "cases": []}
+
+    for n in (131072, 262144, 524288, 1_000_000):
+        corpus, qpool = corpus_for(n, 128, seed=0)
+        world = make_world(corpus.num_docs, seed=1)
+        sels = SELS if n == 1_000_000 else {3: 1.0}
+        measure_case(corpus, qpool, world, n, 128, sels, out,
+                     f"{n//1000}k x 128")
+        del corpus, qpool
+        gc.collect()
+
+    for n in (131072, 262144):
+        corpus, qpool = corpus_for(n, 768, seed=2)
+        world = make_world(corpus.num_docs, seed=3)
+        measure_case(corpus, qpool, world, n, 768, {1: 0.036, 3: 1.0},
+                     out, f"{n//1000}k x 768")
+        del corpus, qpool
+        gc.collect()
+
+    if args.big:
+        corpus, qpool = corpus_for(2_000_000, 128, seed=4)
+        world = make_world(corpus.num_docs, seed=5)
+        measure_case(corpus, qpool, world, 2_000_000, 128, {3: 1.0}, out,
+                     "2M x 128")
+
+    with open("results/graph_crossover.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

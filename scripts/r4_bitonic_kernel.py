@@ -137,3 +137,65 @@ def bitonic_sort_keep(y: jax.Array, keep: int = 128, q_tile: int = 512,
         out_shape=jax.ShapeDtypeStruct((keep, nq), jnp.int32),
         interpret=interpret,
     )(y)
+
+
+def _make_bitonic_pairs2_kernel(npc: int, keep: int):
+    """Two-input pairs form: sorts (y, meta) together by y. y values are
+    the ORIGINAL packed ints (lane included); meta is arbitrary payload
+    (the extraction kernel's (global_group << 7) | lane words)."""
+    assert npc & (npc - 1) == 0
+
+    def _kernel(y_ref, m_ref, out_y_ref, out_m_ref):
+        y = y_ref[:]
+        g = m_ref[:]
+        tq = y.shape[1]
+        size = 2
+        while size <= npc:
+            stride = size // 2
+            while stride >= 1:
+                nb = npc // (2 * stride)
+                y4 = y.reshape(nb, 2, stride, tq)
+                g4 = g.reshape(nb, 2, stride, tq)
+                a, b = y4[:, 0], y4[:, 1]
+                ga, gb = g4[:, 0], g4[:, 1]
+                le = a <= b
+                lo = jnp.where(le, a, b)
+                hi = jnp.where(le, b, a)
+                glo = jnp.where(le, ga, gb)
+                ghi = jnp.where(le, gb, ga)
+                bidx = jax.lax.broadcasted_iota(
+                    jnp.int32, (nb, stride, tq), 0)
+                desc = ((bidx * (2 * stride)) & size) != 0
+                y = jnp.stack([jnp.where(desc, hi, lo),
+                               jnp.where(desc, lo, hi)],
+                              axis=1).reshape(npc, tq)
+                g = jnp.stack([jnp.where(desc, ghi, glo),
+                               jnp.where(desc, glo, ghi)],
+                              axis=1).reshape(npc, tq)
+                stride //= 2
+            size *= 2
+        out_y_ref[:] = y[:keep, :]
+        out_m_ref[:] = g[:keep, :]
+
+    return _kernel
+
+
+@functools.partial(jax.jit, static_argnames=("keep", "q_tile", "interpret"))
+def bitonic_pairs2_keep(y: jax.Array, meta: jax.Array, keep: int,
+                        q_tile: int = 512, interpret: bool = False):
+    """((npc, Q) y, (npc, Q) meta) -> ((keep, Q), (keep, Q)) ascending
+    by y; meta rides along."""
+    npc, nq = y.shape
+    assert keep % 8 == 0 and keep <= npc
+    q_tile = min(q_tile, nq)
+    assert nq % q_tile == 0
+    return pl.pallas_call(
+        _make_bitonic_pairs2_kernel(npc, keep),
+        grid=(nq // q_tile,),
+        in_specs=[pl.BlockSpec((npc, q_tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)] * 2,
+        out_specs=[pl.BlockSpec((keep, q_tile), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((keep, nq), jnp.int32)] * 2,
+        interpret=interpret,
+    )(y, meta)

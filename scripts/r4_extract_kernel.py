@@ -108,3 +108,74 @@ def extract_merge(mins: jax.Array, k: int, sub: int = 128, t: int = 12,
     # restore true lane bits: gather exact packed values by group position
     exact = jnp.take_along_axis(jnp.transpose(mins, (1, 0)), gpos, axis=1)
     return exact, gpos
+
+
+def _make_extract_pairs_kernel(sub: int, t: int):
+    """v3: extraction on the ORIGINAL packed values with a meta word
+    tracked alongside — meta = (global_group << 7) | lane. No position
+    embedding (sub may exceed 128), no exact-value gather afterwards:
+    the extracted values ARE the original packed ints, lane included."""
+    def _kernel(m_ref, out_y_ref, out_m_ref):
+        m = m_ref[:]                                  # (sub, TQ)
+        tq = m.shape[1]
+        j = pl.program_id(0)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (sub, tq), 0)
+        meta = ((j * sub + pos) << 7) | (m & 127)
+        big = jnp.int32(2**30)
+        for r in range(t):
+            cur = jnp.min(m, axis=0)                  # (TQ,)
+            hit = m == cur[None, :]
+            out_y_ref[r, :] = cur
+            out_m_ref[r, :] = jnp.min(jnp.where(hit, meta, big), axis=0)
+            if r + 1 < t:
+                m = jnp.where(hit, big, m)
+        # duplicate packed values within a subgroup (same score AND lane in
+        # two groups) are extracted as one candidate with the smaller
+        # meta — a strictly rarer event than the group-min collision the
+        # epilogue already accepts
+
+    return _kernel
+
+
+@functools.partial(jax.jit, static_argnames=("sub", "t", "q_tile",
+                                              "interpret"))
+def subgroup_extract_pairs(mins: jax.Array, sub: int = 256, t: int = 16,
+                           q_tile: int = 2048, interpret: bool = False):
+    """(n_groups, Q) packed minima -> ((nsub*t, Q) exact packed values,
+    (nsub*t, Q) meta = (global_group << 7) | lane), ascending per
+    subgroup."""
+    ng, nq = mins.shape
+    assert ng % sub == 0 and t % 8 == 0
+    q_tile = min(q_tile, nq)
+    assert nq % q_tile == 0
+    nsub = ng // sub
+    return pl.pallas_call(
+        _make_extract_pairs_kernel(sub, t),
+        grid=(nsub, nq // q_tile),
+        in_specs=[pl.BlockSpec((sub, q_tile), lambda j, i: (j, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((t, q_tile), lambda j, i: (j, i),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((nsub * t, nq), jnp.int32)] * 2,
+        interpret=interpret,
+    )(mins)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "sub", "t", "keep",
+                                              "q_tile", "interpret"))
+def extract_merge_v3(mins: jax.Array, k: int, sub: int = 256, t: int = 16,
+                     keep: int = 128, q_tile: int = 2048,
+                     interpret: bool = False):
+    """All-Pallas merge, gather-free: stage-1 pairs extraction + stage-2
+    bitonic pairs sort. Returns ((Q, k) exact packed vals incl lane,
+    (Q, k) global group positions) — the cascade contract."""
+    from r4_bitonic_kernel import bitonic_pairs2_keep
+
+    y, meta = subgroup_extract_pairs(mins, sub=sub, t=t, q_tile=q_tile,
+                                     interpret=interpret)
+    ys, ms = bitonic_pairs2_keep(y, meta, keep=max(keep, k),
+                                 q_tile=min(512, mins.shape[1]),
+                                 interpret=interpret)
+    vals = jnp.transpose(ys[:k, :], (1, 0))
+    gpos = jnp.transpose(ms[:k, :] >> 7, (1, 0))
+    return vals, gpos

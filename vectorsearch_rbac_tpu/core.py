@@ -193,6 +193,33 @@ class ArenaQuant:
             bias = bias + 1.0
         return qq, inv, bias
 
+    def query_residual8(self, q: np.ndarray, q8: np.ndarray,
+                        inv: np.ndarray, cosine: bool = False) -> np.ndarray:
+        """(Q, d) float queries + their int8 codes -> (Q, d_pad) int8
+        RESIDUAL codes r8 = round((q*qs - q8) * 254), so the device can
+        rebuild a ~16-bit fixed-point query as (q8 + r8/254) / qs.
+
+        The residual wire is the 768-d accuracy upgrade (VERDICT-r3 item
+        6): it reuses the int8 code the kernel ships anyway and adds ONE
+        byte per component — finer than f16's 11-bit mantissa at half of
+        f16's extra bytes (the round-3 accuracy leg shipped 2 B/component
+        f16 queries ON TOP of the kernel's int8 codes and halved QPS on
+        the tunnel-bandwidth-bound pass)."""
+        qf = np.asarray(q, dtype=np.float32)
+        if cosine:
+            qf = qf / np.maximum(
+                np.linalg.norm(qf, axis=1, keepdims=True), 1e-30)
+        # qs from the caller's quantize_queries_ip: inv = 1/(qs*scale)
+        qs = 1.0 / (np.asarray(inv, dtype=np.float32) * self.scale)
+        d = qf.shape[1]
+        r = qf * qs[:, None] - q8[:, :d].astype(np.float32)
+        r8 = np.clip(np.rint(r * 254.0), -127, 127).astype(np.int8)
+        if d < q8.shape[1]:
+            r8 = np.concatenate(
+                [r8, np.zeros((r8.shape[0], q8.shape[1] - d), np.int8)],
+                axis=1)
+        return r8
+
     def quantize_masks(self, masks: np.ndarray,
                        num_roles: Optional[int] = None) -> np.ndarray:
         """(Q, W) uint32 bitmasks -> (Q, R_pad) int8 one-hot."""

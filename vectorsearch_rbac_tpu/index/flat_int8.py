@@ -71,7 +71,7 @@ def _lazy_jits():
     @functools.partial(
         jax.jit,
         static_argnames=("batch", "d", "w", "r_pad", "use_table",
-                         "has_bias", "dq", "qhalf",
+                         "has_bias", "dq", "qhalf", "dres",
                          "k", "kk", "q_tile", "block_rows", "group",
                          "merge", "interpret", "metric", "kernel_metric",
                          "wide", "id_bits", "wire", "rerank",
@@ -81,7 +81,7 @@ def _lazy_jits():
                    batch, d, w, r_pad, use_table, has_bias, dq, k, kk,
                    q_tile, block_rows, group, merge, interpret, metric,
                    kernel_metric, wide, id_bits, wire, rerank,
-                   score_shift=0, qhalf=False):
+                   score_shift=0, qhalf=False, dres=0):
         """ONE dispatch per batch: slice this batch's packed uint8 row out
         of the pass buffer (int8 queries + uint16 user ids OR uint32 mask
         bitsets [+ bias] [+ f32 queries]), unpack, run the fused kernel,
@@ -123,6 +123,14 @@ def _lazy_jits():
             inv_b = jax.lax.bitcast_convert_type(
                 buf[off:off + batch * 4].reshape(batch, 4), jnp.float32)
             off += batch * 4
+        r8_b = None
+        if dres:
+            # int8 RESIDUAL wire: one extra byte per component upgrades the
+            # kernel's int8 query to ~16-bit fixed point for the rerank
+            # (q8 + r8/254) — finer than f16 at half of f16's extra bytes
+            r8_b = jax.lax.bitcast_convert_type(
+                buf[off:off + batch * dres].reshape(batch, dres), jnp.int8)
+            off += batch * dres
         qf_b = None
         if dq:
             if qhalf:
@@ -161,6 +169,14 @@ def _lazy_jits():
         if rerank:   # rerank tier
             if qf_b is not None:
                 qf = qf_b
+            elif r8_b is not None:
+                # residual rebuild: (q8 + r8/254) / qs_q — ip/cosine only
+                # (per-query scales guarantee |r| <= 0.5; inv_b * q_dequant
+                # = 1/qs_q)
+                q16 = (q8b.astype(jnp.float32)
+                       + r8_b.astype(jnp.float32) * jnp.float32(1 / 254.0))
+                qf = (q16 * (inv_b * q_dequant)[:, None]
+                      )[:, : mirror_vec.shape[1]]
             else:
                 # dequantized-query rerank: rebuild ~the float query from
                 # its int8 code on device instead of shipping it (wide-d
@@ -235,12 +251,21 @@ class Int8FlatIndex:
                                # path (main_role_partition_comparison.cpp:629
                                # vector<pair<doc,block>>). f32 for partition
                                # tiers feeding a cross-partition merge.
-        rerank_dequant: Optional[bool] = None,  # rerank with device-dequantized
-                               # queries instead of uploading f32 queries
-                               # (saves d*4 B/query of tunnel upload; use
-                               # for wide-d corpora where distance-value
-                               # fidelity of ~0.5/q_scale per component is
-                               # acceptable)
+        rerank_dequant: Optional[bool] = None,  # legacy bool form of
+                               # rerank_mode: True="dequant", False="f16"
+        rerank_mode: Optional[str] = None,  # rerank query source:
+                               # "dequant"  rebuild ~the float query from
+                               #            its int8 code (0 extra upload
+                               #            bytes; ~0.5/q_scale/component
+                               #            rounding noise),
+                               # "residual" int8 residual wire (+1 B/comp):
+                               #            ~16-bit fixed-point rebuild —
+                               #            finer than f16 at half f16's
+                               #            extra bytes (the wide-d default
+                               #            since round 4; measured on
+                               #            cohere 1M x 768: see
+                               #            results/cohere_768d_1m_r4.json),
+                               # "f16"/"f32" ship the query (+2/+4 B/comp)
         merge: str = "cascade",  # group-minima merge: "cascade" (two-stage
                                # per-subgroup top-t + exact top-k over
                                # survivors; miss probability ~1e-13, ~4x
@@ -306,20 +331,33 @@ class Int8FlatIndex:
         self.dist16 = dist16
         self.wire = wire or ("bf16" if dist16 else "f32")
         self.merge = merge
-        # auto: wide-d corpora default to the dequantized-query rebuild
-        # (the upload-free fast leg), narrow-d ship f16 queries. Measured
-        # trade on cohere 1M x 768 cosine, 16k queries (scripts/
-        # cohere_bisect.py + /tmp checks, round 3): per-QUERY-scale
+        # rerank-query source. Round-3 measurements (cohere 1M x 768
+        # cosine, 16k queries, scripts/cohere_bisect.py): per-QUERY-scale
         # dequant 0.9855 @ 20.8k QPS; shipped f16 queries 0.9924 @ 9.0k
         # (f16 adds 1.5 KB/query to a tunnel-bandwidth-bound pass);
-        # shipped f32 0.9963; no rerank 0.9765. The original BATCH-scale
-        # dequant rebuild capped recall at 0.9839 — one outlier component
-        # in the batch coarsened every query's rebuild — which is why
-        # quantize_queries_ip now keeps per-query scales. Pass
-        # rerank_dequant=False for the accuracy leg.
-        self.rerank_dequant = (self.wide if rerank_dequant is None
-                               else rerank_dequant)
-        self.rerank_qhalf = True
+        # shipped f32 0.9963; no rerank 0.9765. The BATCH-scale dequant
+        # rebuild capped recall at 0.9839 — one outlier component in the
+        # batch coarsened every query's rebuild — which is why
+        # quantize_queries_ip keeps per-query scales. Round 4 adds the
+        # int8 RESIDUAL wire (+1 B/component): ~16-bit fixed-point rebuild,
+        # finer than f16 at half its extra bytes — the wide-d default.
+        if rerank_mode is None:
+            if rerank_dequant is not None:
+                rerank_mode = "dequant" if rerank_dequant else "f16"
+            elif self.wide:
+                # residual needs the per-query scales of the ip/cosine
+                # quantizer (|r| <= 0.5 guaranteed); l2's GLOBAL query
+                # scale can clip out-of-range components, which the
+                # +-0.5-range residual cannot recover
+                rerank_mode = "residual" if self.metric != "l2" else "dequant"
+            else:
+                rerank_mode = "f16"
+        assert rerank_mode in ("dequant", "residual", "f16", "f32")
+        assert not (rerank_mode == "residual" and self.metric == "l2"), \
+            "residual rerank needs per-query scales (ip/cosine only)"
+        self.rerank_mode = rerank_mode
+        self.rerank_dequant = rerank_mode == "dequant"
+        self.rerank_qhalf = rerank_mode == "f16"
 
         self.logical = logical and rows is not None
         if rows is None:
@@ -467,10 +505,14 @@ class Int8FlatIndex:
         d_cols = q8.shape[1]
         w = (self._user_table.shape[1] if use_table else masks.shape[1])
         has_bias = bias is not None
-        ship_qf = self.rerank and not self.rerank_dequant
-        qhalf = ship_qf and self.rerank_qhalf
+        ship_qf = self.rerank and self.rerank_mode in ("f16", "f32")
+        qhalf = self.rerank_mode == "f16"
         qf_ship = (np.ascontiguousarray(qf, dtype=np.float16)
                    if qhalf else qf)
+        r8_ship = None
+        if self.rerank and self.rerank_mode == "residual":
+            r8_ship = quant.query_residual8(
+                qf, q8, inv_arr, cosine=self.metric == "cosine")
 
         def _col(arr, width, s):
             out = np.zeros(bs * width, np.uint8)
@@ -489,6 +531,8 @@ class Int8FlatIndex:
             if has_bias:
                 seg.append(_col(bias.astype(np.float32), 4, s))
                 seg.append(_col(inv_arr, 4, s))
+            if r8_ship is not None:
+                seg.append(_col(r8_ship, d_cols, s))
             if ship_qf:
                 seg.append(_col(qf_ship, (2 if qhalf else 4) * qf.shape[1],
                                 s))
@@ -531,6 +575,7 @@ class Int8FlatIndex:
                 batch=bs, d=d_cols, w=w, r_pad=r_pad,
                 use_table=use_table, has_bias=has_bias,
                 dq=qf.shape[1] if ship_qf else 0, qhalf=qhalf,
+                dres=d_cols if r8_ship is not None else 0,
                 k=k, kk=kk, q_tile=q_tile,
                 block_rows=self.block_rows, group=self.group,
                 merge=self.merge, interpret=interp, metric=self.metric,
