@@ -74,14 +74,30 @@ def corpus_for(n: int, d: int, seed: int):
 
 
 def measure_case(corpus, qpool, world, n, d, sels, out, tag):
+    rng = np.random.default_rng(7)
+    queries = qpool[rng.choice(len(qpool), NQ, replace=False)].astype(
+        np.float32)
+
+    # exact f32 oracle on a throwaway arena (freed before serving builds)
+    from vectorsearch_rbac_tpu.index.flat import FlatIndex
+
+    t0 = time.perf_counter()
+    gt_arena = build_device_arena(corpus, world, block_rows=65536,
+                                  dtype="float32", with_aug=False)
+    oracle = FlatIndex(gt_arena, None, block_rows=65536, mode="exact",
+                       query_batch=1024)
+    truth = {}
+    for uid in sels:
+        masks = world.user_masks[np.full(NQ, uid)]
+        _, truth[uid] = oracle.search(queries, masks, TOPK)
+    del oracle, gt_arena
+    gc.collect()
+    print(f"[{tag}] ground truth {time.perf_counter()-t0:.0f}s", flush=True)
+
     t0 = time.perf_counter()
     arena = build_device_arena(corpus, world, block_rows=65536,
                                dtype="int8")
     print(f"[{tag}] arena {time.perf_counter()-t0:.0f}s", flush=True)
-
-    rng = np.random.default_rng(7)
-    queries = qpool[rng.choice(len(qpool), NQ, replace=False)].astype(
-        np.float32)
 
     flat = Int8FlatIndex(arena, None, query_batch=2048, q_tile=2048,
                          block_rows=8192, group=min(128, max(8, n // 8192)))
@@ -96,9 +112,7 @@ def measure_case(corpus, qpool, world, n, d, sels, out, tag):
     for uid, sel in sels.items():
         users = np.full(NQ, uid)
         masks = world.user_masks[users]
-        # exact oracle on the same int8 values (lossless corpus): flat
-        # exact merge is the reference
-        td, ti = flat.search(queries, masks, TOPK)
+        ti = truth[uid]
 
         def timed(fn, passes=3):
             fn()                       # warm + compile

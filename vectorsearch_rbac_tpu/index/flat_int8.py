@@ -266,12 +266,15 @@ class Int8FlatIndex:
                                #            cohere 1M x 768: see
                                #            results/cohere_768d_1m_r4.json),
                                # "f16"/"f32" ship the query (+2/+4 B/comp)
-        merge: str = "cascade",  # group-minima merge: "cascade" (two-stage
-                               # per-subgroup top-t + exact top-k over
-                               # survivors; miss probability ~1e-13, ~4x
-                               # cheaper than one big top_k at 1M-scale
-                               # group counts), "auto" (exact/approx by
-                               # n_groups), "exact", "approx"
+        merge: str = "pallas",  # group-minima merge: "pallas" (all-Pallas
+                               # subgroup extraction + bitonic pairs sort,
+                               # output-identical to the cascade at 3.8x —
+                               # ops/pallas_merge.py; auto-falls-back to
+                               # cascade on shapes the gate rejects),
+                               # "cascade" (two-stage XLA top_k; miss
+                               # probability ~1e-13), "auto"
+                               # (exact/approx by n_groups), "exact",
+                               # "approx"
         logical: bool = False,  # no-copy mode: keep only the row map on
                                 # device and gather the partition's int8
                                 # rows from the SHARED arena at query time

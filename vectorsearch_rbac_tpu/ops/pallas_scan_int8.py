@@ -168,14 +168,43 @@ def int8_masked_topk(
         return packed, packed
     return _merge_group_minima(packed, query_norms, inv_scale_sq, k,
                                group, merge, metric, query_bias,
-                               score_shift)
+                               score_shift, interpret=interpret)
 
 
 def _merge_group_minima(packed, query_norms, inv_scale_sq, k, group, merge,
-                        metric, query_bias, score_shift=0):
+                        metric, query_bias, score_shift=0,
+                        interpret=False):
     """Shared epilogue: (n_groups, Q) packed (score << 7 | lane) minima ->
     (dists (Q, k), idx (Q, k))."""
+    from .pallas_merge import merge_supported, pallas_merge_topk
+
     n_groups = packed.shape[0]
+    if merge == "pallas" and not merge_supported(n_groups, packed.shape[1],
+                                                 k):
+        merge = "cascade"   # tiny/odd shapes: the XLA cascade
+    if merge == "pallas":
+        # all-Pallas merge: subgroup extraction + bitonic pairs sort —
+        # 3.8x the cascade, output-identical (scripts/r4_merge_lab6.py;
+        # ops/pallas_merge.py for the full accounting)
+        vals, pos = pallas_merge_topk(packed, k, interpret=interpret)
+        lane = vals & LANE_MASK
+        idx = pos * group + lane
+        score = jax.lax.shift_right_arithmetic(vals, 7)
+        if score_shift:
+            score = jax.lax.shift_left(score, score_shift)
+        empty = vals >= EMPTY_I32
+        inv2 = (inv_scale_sq if jnp.ndim(inv_scale_sq) == 0
+                else inv_scale_sq[:, None])
+        if metric == "l2":
+            dists = (score + query_norms[:, None]).astype(jnp.float32) * inv2
+            dists = jnp.maximum(dists, 0.0)
+        else:
+            dists = score.astype(jnp.float32) * inv2
+        if query_bias is not None:
+            dists = dists + query_bias[:, None]
+        dists = jnp.where(empty, jnp.inf, dists)
+        idx = jnp.where(empty, -1, idx)
+        return dists, idx
     mins = jnp.transpose(packed, (1, 0))                 # (Q, n_groups)
     if merge == "auto":
         merge = "approx" if n_groups > 32768 else "exact"
@@ -359,7 +388,7 @@ def int8_masked_topk_wide(
 
     return _merge_group_minima(packed, query_norms, inv_scale_sq, k,
                                group, merge, metric, query_bias,
-                               score_shift)
+                               score_shift, interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("r_pad",))
