@@ -75,6 +75,17 @@ def main():
 
     import jax
 
+    # persistent XLA compilation cache: serving-executable compiles ride
+    # the tunnel's remote compile helper (1-17 MINUTES when it is
+    # congested, measured in the round-4 cold-start runs); the cache makes
+    # them a one-time cost across processes. No timed pass includes
+    # compilation (warm-ups precede every measurement).
+    import os as _os
+    _os.makedirs("artifacts/jaxcache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir",
+                      _os.path.abspath("artifacts/jaxcache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
     from vectorsearch_rbac_tpu.bench import (
         GroundTruthOracle, generate_query_workload, run_benchmark,
     )

@@ -17,6 +17,11 @@ Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/cold_start_bench.py
 Writes results/cold_start.json.
 """
 
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/artifacts/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 import argparse
 import json
 import os

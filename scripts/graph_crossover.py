@@ -23,6 +23,11 @@ Writes results/graph_crossover.json.
 Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/graph_crossover.py [--big]
 """
 
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/artifacts/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 import argparse
 import gc
 import json

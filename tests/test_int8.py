@@ -566,3 +566,28 @@ def test_partitioned_rerank_uses_arena_rows(int_world, logical):
         hits += len(set(got) & set(want))
         total += max(len(want), 1)
     assert hits / total >= 0.9, f"partitioned rerank recall {hits/total}"
+
+
+def test_int8_flat_index_ids_wire(int_corpus, int_world, int_arena):
+    """wire='ids' (the reference-parity id-only result protocol): same row
+    ids as the bf16 wire, rank pseudo-distances ascending, -1/inf empties."""
+    from vectorsearch_rbac_tpu.index.flat_int8 import Int8FlatIndex
+
+    rng = np.random.default_rng(8)
+    nq, k = 16, 6
+    qf = rng.integers(0, 256, (nq, int_corpus.dim)).astype(np.float32)
+    users = rng.integers(0, int_world.num_users, nq)
+    masks = int_world.user_masks[users]
+    ref = Int8FlatIndex(int_arena, None, query_batch=16, q_tile=16,
+                        block_rows=256, group=8)
+    ids_idx = Int8FlatIndex(int_arena, None, query_batch=16, q_tile=16,
+                            block_rows=256, group=8, wire="ids")
+    d1, r1 = ref.search(qf, masks, k)
+    d2, r2 = ids_idx.search(qf, masks, k)
+    np.testing.assert_array_equal(r1, r2)
+    for qi in range(nq):
+        fin = r2[qi] >= 0
+        # rank pseudo-dists: 0..count-1 then +inf
+        np.testing.assert_array_equal(d2[qi][fin],
+                                      np.arange(fin.sum(), dtype=np.float32))
+        assert np.isinf(d2[qi][~fin]).all()
