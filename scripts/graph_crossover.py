@@ -104,8 +104,9 @@ def measure_case(corpus, qpool, world, n, d, sels, out, tag):
                                dtype="int8")
     print(f"[{tag}] arena {time.perf_counter()-t0:.0f}s", flush=True)
 
+    group = 1 << min(7, max(3, (n // 8192).bit_length() - 1))  # pow2 only
     flat = Int8FlatIndex(arena, None, query_batch=2048, q_tile=2048,
-                         block_rows=8192, group=min(128, max(8, n // 8192)))
+                         block_rows=8192, group=group)
     flat.set_user_table(world.user_masks)
 
     t0 = time.perf_counter()
@@ -127,26 +128,41 @@ def measure_case(corpus, qpool, world, n, d, sels, out, tag):
             return (time.perf_counter() - t) / passes, dd, ii
 
         wall_f, fd, fi = timed(lambda: flat.search(queries, masks, TOPK))
-        # graph: sampled entries + iterative rescan, the round-3 best leg
-        wall_g, gd, gi = timed(lambda: graph.search(
-            queries, masks, TOPK, sampled_entry=True,
-            max_steps=64 if sel >= 0.2 else 96))
         rec_f = compute_recall(fi, ti)
-        rec_g = compute_recall(gi, ti)
+        # graph gets an ef LADDER (sampled entries + iterative rescan, the
+        # round-3 best leg): its reported point is the fastest leg holding
+        # recall >= 0.95, so the comparison is against the graph's own
+        # best operating point, not one fixed ef
+        ladder = []
+        for ef in (40, 80, 160, 320):
+            wall_g, gd, gi = timed(lambda ef=ef: graph.search(
+                queries, masks, TOPK, ef_search=ef, sampled_entry=True,
+                max_steps=max(64, ef)), passes=2)
+            rec_g = compute_recall(gi, ti)
+            ladder.append({"ef": ef, "qps": round(NQ / wall_g, 1),
+                           "recall": round(rec_g, 4)})
+            if rec_g >= 0.99:
+                break
+        ok = [p for p in ladder if p["recall"] >= 0.95]
+        best_g = (max(ok, key=lambda p: p["qps"]) if ok
+                  else max(ladder, key=lambda p: p["recall"]))
         row = {
             "n": n, "d": d, "selectivity": sel,
             "flat_qps": round(NQ / wall_f, 1),
             "flat_recall": round(rec_f, 4),
-            "graph_qps": round(NQ / wall_g, 1),
-            "graph_recall": round(rec_g, 4),
+            "graph_qps": best_g["qps"],
+            "graph_recall": best_g["recall"],
+            "graph_ef": best_g["ef"],
+            "graph_ladder": ladder,
             "graph_build_s": round(build_s, 1),
-            "winner": "graph" if (NQ / wall_g > NQ / wall_f
-                                  and rec_g >= 0.95) else "flat",
+            "winner": "graph" if (best_g["qps"] > NQ / wall_f
+                                  and best_g["recall"] >= 0.95) else "flat",
         }
         out["cases"].append(row)
         print(f"[{tag}] sel={sel}: flat {row['flat_qps']} QPS "
               f"@{row['flat_recall']} | graph {row['graph_qps']} QPS "
-              f"@{row['graph_recall']} -> {row['winner']}", flush=True)
+              f"@{row['graph_recall']} (ef={row['graph_ef']}, ladder "
+              f"{ladder}) -> {row['winner']}", flush=True)
     del arena, flat, graph
     gc.collect()
 
