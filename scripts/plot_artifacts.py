@@ -159,7 +159,8 @@ REF_NOTE = {"rls": "physical postfilter ef=500",
 
 
 def plot_strategy_compare(out_dir: str) -> str | None:
-    art = _load("strategy_compare_1m_r3.json")
+    art = _load("strategy_compare_1m_r4.json") or _load(
+        "strategy_compare_1m_r3.json")
     if art is None:
         return None
     names = [k for k in ("rls", "role", "user", "dynamic", "qdtree") if k in art]
@@ -290,6 +291,65 @@ def plot_online_insert(out: str):
     return path
 
 
+def plot_graph_crossover(out_dir: str) -> str | None:
+    art = _load("graph_crossover.json")
+    if art is None:
+        return None
+    cases = art["cases"]
+    fig, (ax, ax2) = plt.subplots(1, 2, figsize=(8.4, 3.2))
+    # left: QPS vs n at sel=1.0, d=128 — the scale axis
+    sweep = [c for c in cases if c["d"] == 128 and c["selectivity"] == 1.0]
+    sweep.sort(key=lambda c: c["n"])
+    ns = [c["n"] for c in sweep]
+    ax.plot(ns, [c["flat_qps"] for c in sweep], "o-", color=C1,
+            label="fused int8 flat scan")
+    ax.plot(ns, [c["graph_qps"] for c in sweep], "s-", color=C2,
+            label="slab-batched HNSW (best ef >= 0.95 recall)")
+    ax.set_xscale("log"); ax.set_yscale("log")
+    ax.set_xlabel("rows (d=128, within-index selectivity 1.0)")
+    ax.set_ylabel("QPS")
+    ax.set_title("graph vs flat: scale axis", fontsize=9)
+    ax.legend(fontsize=7)
+    # right: QPS vs selectivity at 1M x 128
+    ssw = [c for c in cases if c["d"] == 128 and c["n"] == 1_000_000]
+    ssw.sort(key=lambda c: c["selectivity"])
+    if ssw:
+        sels = [c["selectivity"] for c in ssw]
+        ax2.plot(sels, [c["flat_qps"] for c in ssw], "o-", color=C1)
+        ax2.plot(sels, [c["graph_qps"] for c in ssw], "s-", color=C2)
+        ax2.set_xscale("log"); ax2.set_yscale("log")
+        ax2.set_xlabel("within-index selectivity (1M x 128)")
+        ax2.set_title("graph vs flat: selectivity axis", fontsize=9)
+    fig.tight_layout()
+    path = os.path.join(out_dir, "graph_crossover.pdf")
+    fig.savefig(path); plt.close(fig)
+    return path
+
+
+def plot_cohere_legs(out_dir: str) -> str | None:
+    art = _load("cohere_768d_1m_r4.json")
+    if art is None:
+        return None
+    legs = art["legs"]
+    names = list(legs)
+    fig, ax = plt.subplots(figsize=(6.0, 3.0))
+    for i, n in enumerate(names):
+        leg = legs[n]
+        ax.scatter(leg["qps"], leg["recall_at_100"], s=46,
+                   color=[C1, C3, C4, C2][i % 4], zorder=3)
+        ax.annotate(n, (leg["qps"], leg["recall_at_100"]),
+                    textcoords="offset points", xytext=(6, -3), fontsize=7)
+    ax.axhline(0.99, color=INK2, lw=0.8, ls="--")
+    ax.text(ax.get_xlim()[0], 0.9903, "0.99 target", fontsize=7, color=INK2)
+    ax.set_xlabel("QPS (1M x 768 cosine, top-100, 16k queries)")
+    ax.set_ylabel("recall@100")
+    ax.set_title("768-d rerank-query-source legs (round 4)", fontsize=9)
+    fig.tight_layout()
+    path = os.path.join(out_dir, "cohere_768d_legs.pdf")
+    fig.savefig(path); plt.close(fig)
+    return path
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="results/plots")
@@ -302,6 +362,8 @@ def main():
         plot_qdtree_margin(args.out),
         plot_serving_load(args.out),
         plot_online_insert(args.out),
+        plot_graph_crossover(args.out),
+        plot_cohere_legs(args.out),
     ) if p]
     for p in made:
         print(p)

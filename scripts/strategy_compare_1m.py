@@ -1,4 +1,8 @@
-"""Five-strategy comparison at 1M on the tiled int8 engines (round-3
+"""Five-strategy comparison at 1M on the tiled int8 engines (round-4
+rerun: the all-Pallas merge now serves the global path and every tiled
+big-tier partition; round-3 numbers below for reference).
+
+(round-3
 refresh of STRATEGY_RESULTS.md at SHIPPING defaults — qdtree prune_margin
 0.25 included, fixing the round-2 artifact/table mismatch (VERDICT weak
 #3); mirrors reference test_all.py's sweep).
@@ -8,6 +12,11 @@ ROLE/USER vs physical role partition 8,470 QPS @ 0.934; AnonySys vs
 logical dynamic 1,544 QPS; RLS vs postfilter 231 QPS; QDTree vs its own
 round-1 107 QPS.
 """
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/artifacts/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 import gc
 import json
 import time
@@ -82,6 +91,6 @@ for name in ("rls", "role", "user", "dynamic", "qdtree"):
     del s
     gc.collect()
 
-with open("results/strategy_compare_1m_r3.json", "w") as f:
+with open("results/strategy_compare_1m_r4.json", "w") as f:
     json.dump(results, f, indent=2)
 print(json.dumps(results, indent=2))
