@@ -130,24 +130,43 @@ def scan_sb(queries_q, vectors_q, norms_q, roles8, masks_sb,
 # ---------------------------------------------------------------- helpers
 
 
-def make_world(nq, n, d, r, n_masks, seed=0, sb=32):
+def make_world(nq, n, d, r, n_masks, seed=0, sb=32, block_rows=256):
     rng = np.random.default_rng(seed)
+    npad = -(-n // block_rows) * block_rows
     q8 = rng.integers(-100, 100, (nq, d), dtype=np.int8)
     x8 = rng.integers(-100, 100, (n, d), dtype=np.int8)
-    norms = (x8.astype(np.int64) ** 2).sum(1).astype(np.int32)
     roles8 = (rng.random((n, r)) < 0.05).astype(np.int8)
+    if npad > n:  # pad rows: all-zero roles = never admissible
+        x8 = np.concatenate([x8, np.zeros((npad - n, d), np.int8)])
+        roles8 = np.concatenate([roles8, np.zeros((npad - n, r), np.int8)])
+    norms = (x8.astype(np.int64) ** 2).sum(1).astype(np.int32)
     # distinct masks, queries GROUPED: query j uses mask j // sb (cycled)
     masks_pool = (rng.random((n_masks, r)) < 0.08).astype(np.int8)
     sub_ids = (np.arange(nq) // sb) % n_masks
     masks_q = masks_pool[sub_ids]                  # per-query (control)
     masks_sb = masks_pool[sub_ids[::sb]]           # per-sub-block (variant)
-    return q8, x8, norms, roles8, masks_q, masks_sb
+    return q8, x8, norms, roles8, masks_q, masks_sb, masks_pool
+
+
+def interleave(nq, q_tile, sb, masks_pool):
+    """pltpu.repeat is TILE-style: within a q_tile, query j carries mask
+    slot j % nsb (nsb = q_tile // sb). Returns (per-query masks for the
+    control, per-slot masks for the variant) under that layout; slot row
+    r (global) uses pool mask r % n_masks."""
+    n_masks = len(masks_pool)
+    nsb = q_tile // sb
+    qidx = np.arange(nq)
+    mask_id = ((qidx // q_tile) * nsb + (qidx % nsb)) % n_masks
+    slot_id = np.arange(nq // sb) % n_masks
+    return masks_pool[mask_id], masks_pool[slot_id]
 
 
 def parity(interpret, sb=8, repeat_mode="bcast", q_tile=32,
            block_rows=256, group=8):
-    q8, x8, norms, roles8, masks_q, masks_sb = make_world(
+    q8, x8, norms, roles8, masks_q, masks_sb, pool = make_world(
         64, 512, 128, 128, n_masks=5, sb=sb)
+    if repeat_mode == "pltpu":  # tile-style repeat: interleaved layout
+        masks_q, masks_sb = interleave(64, q_tile, sb, pool)
     ctl = int8_masked_topk(
         jnp.asarray(q8), jnp.zeros(64, jnp.int32), jnp.asarray(x8),
         jnp.asarray(norms), jnp.asarray(roles8), jnp.asarray(masks_q),
@@ -192,27 +211,28 @@ def main():
 
     Q, N, D, R = 8192, 1_000_000, 128, 128
     sb = args.sb
-    q8, x8, norms, roles8, masks_q, masks_sb = make_world(
-        Q, N, D, R, n_masks=100, sb=sb)
+    q8, x8, norms, roles8, masks_q, masks_sb, pool = make_world(
+        Q, N, D, R, n_masks=100, sb=sb, block_rows=8192)
+    masks_q_il, masks_sb_il = interleave(Q, 2048, sb, pool)
     dev = {k: jnp.asarray(v) for k, v in
            dict(q8=q8, x8=x8, norms=norms, roles8=roles8,
-                masks_q=masks_q, masks_sb=masks_sb).items()}
+                masks_q=masks_q_il, masks_sb=masks_sb_il).items()}
     qn = jnp.zeros(Q, jnp.int32)
     out = {"sb": sb}
 
     ctl = lambda: int8_masked_topk(  # noqa: E731
         dev["q8"], qn, dev["x8"], dev["norms"], dev["roles8"],
         dev["masks_q"], jnp.float32(1.0), k=100, q_tile=2048,
-        block_rows=131072, group=128, merge="none")[0]
+        block_rows=8192, group=128, merge="none")[0]
     out["control_none_ms"] = chain_time(lambda: ctl(), (), reps=8)
     print("control scan (merge=none):", round(out["control_none_ms"], 2), "ms",
           flush=True)
 
-    for mode in ("bcast", "jnp", "pltpu"):
+    for mode in ("pltpu",):  # bcast/jnp: Mosaic "unsupported shape cast"
         try:
             fn = lambda: scan_sb(  # noqa: E731
                 dev["q8"], dev["x8"], dev["norms"], dev["roles8"],
-                dev["masks_sb"], q_tile=2048, block_rows=131072,
+                dev["masks_sb"], q_tile=2048, block_rows=8192,
                 group=128, sb=sb, repeat_mode=mode)
             ms = chain_time(lambda: fn(), (), reps=8)
             out[f"sb_{mode}_ms"] = ms

@@ -591,3 +591,48 @@ def test_int8_flat_index_ids_wire(int_corpus, int_world, int_arena):
         np.testing.assert_array_equal(d2[qi][fin],
                                       np.arange(fin.sum(), dtype=np.float32))
         assert np.isinf(d2[qi][~fin]).all()
+
+
+def test_admit_dedup_bit_identical(int_corpus, int_world, int_arena):
+    """Admit-dedup (mask-grouped sub-block slots feeding the kernel's
+    shrunken admissibility matmul, ops/pallas_scan_int8 mask_sub_block)
+    must return EXACTLY the per-query-mask results — grouping, padding,
+    interleaving, and the finalize scatter are all order bookkeeping.
+    Covers both the mask wire and the 2-byte uid wire, skewed mask
+    counts (slot padding), and the fragmented-population gate."""
+    from vectorsearch_rbac_tpu.index.flat_int8 import Int8FlatIndex
+
+    rng = np.random.default_rng(11)
+    nq, k = 320, 6
+    qf = rng.integers(0, 256, (nq, int_corpus.dim)).astype(np.float32)
+    # 5 distinct masks with skewed counts (prime-ish -> slot padding)
+    base_users = rng.choice(int_world.num_users, 5, replace=False)
+    users = base_users[np.minimum((rng.pareto(1.2, nq) * 2).astype(int), 4)]
+    masks = int_world.user_masks[users]
+
+    mk = dict(query_batch=128, q_tile=128, block_rows=256, group=8)
+    on = Int8FlatIndex(int_arena, None, **mk)
+    off = Int8FlatIndex(int_arena, None, mask_dedup=False, **mk)
+    d1, i1 = on.search(qf, masks, k)
+    assert on._last_dedup, "gate should fire: 5 masks over 320 queries"
+    d0, i0 = off.search(qf, masks, k)
+    assert not off._last_dedup
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_array_equal(d0, d1)
+
+    # uid wire: same equality through the resident-table path
+    on.set_user_table(int_world.user_masks)
+    off.set_user_table(int_world.user_masks)
+    d3, i3 = on.search_deferred(qf, None, k, user_ids=users)()
+    assert on._last_dedup
+    d2, i2 = off.search_deferred(qf, None, k, user_ids=users)()
+    np.testing.assert_array_equal(i2, i3)
+    np.testing.assert_array_equal(d2, d3)
+    np.testing.assert_array_equal(i0, i3)
+
+    # broad population (one mask per random user): whether or not the
+    # 1.25x padding gate declines, results must stay identical
+    masks_f = int_world.user_masks[rng.integers(0, int_world.num_users, nq)]
+    df1, if1 = on.search(qf, masks_f, k)
+    df0, if0 = off.search(qf, masks_f, k)
+    np.testing.assert_array_equal(if0, if1)

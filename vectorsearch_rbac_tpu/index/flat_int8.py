@@ -75,13 +75,13 @@ def _lazy_jits():
                          "k", "kk", "q_tile", "block_rows", "group",
                          "merge", "interpret", "metric", "kernel_metric",
                          "wide", "id_bits", "wire", "rerank",
-                         "score_shift"))
+                         "score_shift", "mask_sb"))
     def _scan_pack(buf_all, bidx, vq, nq_, r8, row_map, inv, mirror_vec,
                    mirror_norms, q_dequant, center, user_table,
                    batch, d, w, r_pad, use_table, has_bias, dq, k, kk,
                    q_tile, block_rows, group, merge, interpret, metric,
                    kernel_metric, wide, id_bits, wire, rerank,
-                   score_shift=0, qhalf=False, dres=0):
+                   score_shift=0, qhalf=False, dres=0, mask_sb=0):
         """ONE dispatch per batch: slice this batch's packed uint8 row out
         of the pass buffer (int8 queries + uint16 user ids OR uint32 mask
         bitsets [+ bias] [+ f32 queries]), unpack, run the fused kernel,
@@ -149,6 +149,16 @@ def _lazy_jits():
                     buf[off:off + batch * 4 * dq].reshape(batch, dq, 4),
                     jnp.float32)
         m8b = expand_masks_device(mk, r_pad)
+        extra = {}
+        if mask_sb:
+            # admit-dedup: the host interleaved same-mask queries into
+            # sub-block slots; derive each slot's one-hot from the slot's
+            # FIRST query (slot r of tile t = local query t*q_tile + r%nsb)
+            nsb = q_tile // mask_sb
+            slots = np.arange(batch // mask_sb)
+            first_q = (slots // nsb) * q_tile + slots % nsb
+            m8b = jnp.take(m8b, jnp.asarray(first_q, np.int32), axis=0)
+            extra["mask_sub_block"] = mask_sb
 
         kern = int8_masked_topk_wide if wide else int8_masked_topk
         dd, ii = kern(
@@ -156,7 +166,7 @@ def _lazy_jits():
             inv if inv_b is None else inv_b, kk,
             q_tile=q_tile, block_rows=block_rows, group=group, merge=merge,
             interpret=interpret, metric=kernel_metric, query_bias=bias_b,
-            score_shift=score_shift,
+            score_shift=score_shift, **extra,
         )
         if row_map is not None:
             # translate local -> arena rows BEFORE rerank: the mirror
@@ -282,6 +292,14 @@ class Int8FlatIndex:
                                 # pointer partitions over one shared vector
                                 # table, shared_vector_table.h:18) — trades
                                 # a per-pass gather for zero duplication
+        mask_dedup: bool = True,  # admit-dedup: group queries by RBAC
+                                # mask into interleaved sub-block slots so
+                                # the kernel's admissibility matmul
+                                # shrinks mask_sb-fold (RBAC workloads
+                                # have far fewer distinct masks than
+                                # queries); bit-identical results,
+                                # auto-skipped when the mask population
+                                # is too fragmented to pay
     ):
         import jax
 
@@ -334,6 +352,9 @@ class Int8FlatIndex:
         self.dist16 = dist16
         self.wire = wire or ("bf16" if dist16 else "f32")
         self.merge = merge
+        self.mask_dedup = mask_dedup
+        self.mask_sb = 16  # slot width; 16 measured best (2% padding on
+                           # the tree-RBAC workload, scan 20.9 -> 16.0 ms)
         # rerank-query source. Round-3 measurements (cohere 1M x 768
         # cosine, 16k queries, scripts/cohere_bisect.py): per-QUERY-scale
         # dequant 0.9855 @ 20.8k QPS; shipped f16 queries 0.9924 @ 9.0k
@@ -442,6 +463,7 @@ class Int8FlatIndex:
             return
         self._user_table = jax.device_put(tbl)
         self._user_table_key = key
+        self._user_table_host = tbl  # admit-dedup groups by mask content
 
     def search_deferred(self, queries: np.ndarray, query_masks: np.ndarray,
                         k: int, user_ids: Optional[np.ndarray] = None):
@@ -480,6 +502,62 @@ class Int8FlatIndex:
         bs = min(self.query_batch, max(pow2, 32))
         q_tile = min(self.q_tile, bs)
         kernel_metric = "l2" if self.metric == "l2" else "ip"
+        # ---- admit-dedup: permute queries so each q_tile packs same-mask
+        # queries into interleaved sub-block SLOTS (slot s of a tile owns
+        # query positions {s, s + nsb, ...}), letting the kernel compute
+        # ONE admissibility column per slot instead of per query
+        # (ops/pallas_scan_int8 mask_sub_block; scan 20.9 -> 16.0 ms per
+        # 8192q x 1M, bit-identical output, results/r4_admit_lab.json).
+        # The wire format is unchanged — the device derives slot one-hots
+        # from each slot's first query. Results scatter back at finalize.
+        nq0 = nq
+        sb = self.mask_sb if (self.mask_dedup and not self.wide) else 0
+        dedup_src = dedup_valid = None
+        mk_rows = None
+        if sb and q_tile % sb == 0 and q_tile // sb >= 8 \
+                and bs % q_tile == 0 and nq >= q_tile:
+            if use_table:
+                tbl_h = getattr(self, "_user_table_host", None)
+                if tbl_h is not None:
+                    mk_rows = tbl_h[uid16.astype(np.int64)]
+            else:
+                mk_rows = masks
+        if mk_rows is not None:
+            _, minv = np.unique(mk_rows, axis=0, return_inverse=True)
+            counts = np.bincount(minv.ravel())
+            s_tot = int(np.sum(-(-counts // sb)))
+            nsb = q_tile // sb
+            npq2 = -(-(s_tot * sb) // bs) * bs
+            # pay the padding only when it is small (fragmented mask
+            # populations — e.g. per-user unique masks — stay per-query)
+            if npq2 <= max(bs, int(1.25 * (-(-nq // bs) * bs))):
+                order = np.argsort(minv.ravel(), kind="stable")
+                src = np.zeros(npq2, np.int64)
+                valid = np.zeros(npq2, bool)
+                ptr = slot = 0
+                lanes = np.arange(sb) * nsb
+                for c in counts:
+                    qs = order[ptr:ptr + c]
+                    ptr += int(c)
+                    for s0 in range(0, int(c), sb):
+                        chunk_q = qs[s0:s0 + sb]
+                        t, s_in = divmod(slot, nsb)
+                        idx = t * q_tile + s_in + lanes
+                        src[idx] = chunk_q[0]   # pad lanes repeat the head
+                        src[idx[:len(chunk_q)]] = chunk_q
+                        valid[idx[:len(chunk_q)]] = True
+                        slot += 1
+                # tail slots keep src=0 (query 0 under its own mask) and
+                # stay invalid — computed, discarded
+                dedup_src, dedup_valid = src, valid
+                qf = np.ascontiguousarray(qf[src])
+                if use_table:
+                    uid16 = np.ascontiguousarray(uid16[src])
+                else:
+                    masks = np.ascontiguousarray(masks[src])
+                nq = npq2
+        self._last_dedup = dedup_src is not None  # bench/test observability
+
         if self.metric == "l2":
             q8, _ = quant.quantize_queries(qf, with_norms=False)
             inv = jnp.float32(1.0 / quant.scale**2)
@@ -585,6 +663,7 @@ class Int8FlatIndex:
                 kernel_metric=kernel_metric, wide=self.wide,
                 id_bits=self._id_bits, wire=wire_fmt, rerank=self.rerank,
                 score_shift=self.score_shift,
+                mask_sb=sb if dedup_src is not None else 0,
             )
             fut = pool.submit(np.asarray, wire) if pool is not None else wire
             pending.append((s, min(s + bs, nq), fut))
@@ -602,6 +681,14 @@ class Int8FlatIndex:
             finally:
                 if pool is not None:
                     pool.shutdown()
+            if dedup_src is not None:
+                # scatter the mask-grouped (padded) rows back to caller
+                # order; pad/dummy rows are dropped
+                od = np.empty((nq0, k), dtype=np.float32)
+                oi = np.empty((nq0, k), dtype=np.int64)
+                od[dedup_src[dedup_valid]] = out_d[dedup_valid]
+                oi[dedup_src[dedup_valid]] = out_i[dedup_valid]
+                return od, oi
             return out_d, out_i
 
         return finalize

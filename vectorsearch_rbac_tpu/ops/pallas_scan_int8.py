@@ -38,10 +38,17 @@ EMPTY_I32 = 0x7E000000
 
 
 def _make_kernel(chunk: int, group: int, metric: str = "l2",
-                 score_shift: int = 0):
+                 score_shift: int = 0, mask_sb: int = 0):
     def _kernel(q_ref, x_ref, n_ref, r_ref, m_ref, out_ref):
         # q: (TQ, d) int8; x: (B, d) int8; n: (1, B) int32;
-        # r: (B, R) int8 role one-hot; m: (TQ, R) int8 user one-hot;
+        # r: (B, R) int8 role one-hot; m: (TQ, R) int8 user one-hot —
+        # OR, with mask_sb > 0, (TQ/mask_sb, R): ONE one-hot per mask
+        # SLOT, where query j carries slot j % (TQ/mask_sb) (admit-dedup:
+        # RBAC workloads have far fewer distinct masks than queries, so
+        # the admissibility matmul shrinks mask_sb-fold and a tile-style
+        # pltpu.repeat rebuilds the (chunk, TQ) admit map on the VPU —
+        # measured 20.9 -> 16.0 ms per 8192q x 1M scan,
+        # results/r4_admit_lab.json, output bit-identical);
         # out: (B/group, TQ) int32 packed (score << 7 | lane) minima.
         # group < 128 keeps more candidates per block (fewer same-group
         # collisions in the final top-k) at 2x output per halving.
@@ -77,7 +84,11 @@ def _make_kernel(chunk: int, group: int, metric: str = "l2",
                 r, m,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
-            )                                     # (chunk, TQ)
+            )                                     # (chunk, TQ[/mask_sb])
+            if mask_sb:
+                # tile-style repeat: output column j = input col j % nsb,
+                # matching the host's interleaved slot layout
+                admit = pltpu.repeat(admit, mask_sb, axis=1)
             s3 = score.reshape(g_per_chunk, group, tq)
             a3 = admit.reshape(g_per_chunk, group, tq)
             packed = jnp.where(
@@ -97,7 +108,8 @@ def _make_kernel(chunk: int, group: int, metric: str = "l2",
 
 @functools.partial(
     jax.jit, static_argnames=("k", "q_tile", "block_rows", "group",
-                              "merge", "interpret", "metric", "score_shift")
+                              "merge", "interpret", "metric", "score_shift",
+                              "mask_sub_block")
 )
 def int8_masked_topk(
     queries_q: jax.Array,    # (Q, d_pad) int8 quantized queries
@@ -105,7 +117,10 @@ def int8_masked_topk(
     vectors_q: jax.Array,    # (Npad, d_pad) int8
     norms_q: jax.Array,      # (Npad,) int32
     roles8: jax.Array,       # (Npad, R_pad) int8 one-hot
-    masks8: jax.Array,       # (Q, R_pad) int8 user one-hot
+    masks8: jax.Array,       # (Q, R_pad) int8 user one-hot; with
+                             # mask_sub_block=sb > 0: (Q/sb, R_pad), one
+                             # one-hot per SLOT — query j of a q_tile
+                             # carries slot j % (q_tile/sb) (admit-dedup)
     inv_scale_sq: jax.Array,       # () float32: 1 / scale^2
     k: int,
     q_tile: int = 512,
@@ -125,6 +140,9 @@ def int8_masked_topk(
     score_shift: int = 0,    # static score >> shift before the << 7 pack
                              # (core.score_shift_for: full int8 resolution
                              # at wide d; 0 for d_pad <= 256)
+    mask_sub_block: int = 0,  # admit-dedup slot width (0 = per-query
+                             # masks). See _make_kernel's mask_sb note and
+                             # index/flat_int8.py's host-side grouping.
 ) -> Tuple[jax.Array, jax.Array]:
     """Return (dists (Q, k) float32 ascending in the metric's distance,
     idx (Q, k) int32 arena rows; -1 / +inf on empty slots)."""
@@ -133,6 +151,11 @@ def int8_masked_topk(
     npad = vectors_q.shape[0]
     assert nq % q_tile == 0 and npad % block_rows == 0
     assert group in (8, 16, 32, 64, 128) and group <= LANE_MASK + 1
+    sb = mask_sub_block
+    if sb:
+        # slots must tile evenly and keep a sane sublane count
+        assert q_tile % sb == 0 and masks8.shape[0] == nq // sb, (
+            q_tile, sb, masks8.shape)
     chunk = 1024 if block_rows % 1024 == 0 else max(group, LANES)
     n_groups = npad // group
 
@@ -141,7 +164,7 @@ def int8_masked_topk(
     r_pad = roles8.shape[1]
 
     packed = pl.pallas_call(
-        _make_kernel(chunk, group, metric, score_shift),
+        _make_kernel(chunk, group, metric, score_shift, mask_sb=sb),
         grid=grid,
         in_specs=[
             pl.BlockSpec((q_tile, d), lambda i, j: (i, 0),
@@ -152,7 +175,8 @@ def int8_masked_topk(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_rows, r_pad), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((q_tile, r_pad), lambda i, j: (i, 0),
+            pl.BlockSpec((q_tile // sb if sb else q_tile, r_pad),
+                         lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
