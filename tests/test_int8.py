@@ -636,3 +636,85 @@ def test_admit_dedup_bit_identical(int_corpus, int_world, int_arena):
     df1, if1 = on.search(qf, masks_f, k)
     df0, if0 = off.search(qf, masks_f, k)
     np.testing.assert_array_equal(if0, if1)
+
+
+def test_admit_dedup_wide_index_e2e(int_world):
+    """Index-level admit-dedup over the WIDE kernel path (d_pad > 256
+    selects int8_masked_topk_wide): grouping + slot one-hots + finalize
+    scatter must reproduce the per-query-mask results exactly, same as
+    the narrow path's test_admit_dedup_bit_identical."""
+    from vectorsearch_rbac_tpu.core import Corpus, build_device_arena
+    from vectorsearch_rbac_tpu.index.flat_int8 import Int8FlatIndex
+
+    rng = np.random.default_rng(13)
+    n, d, nq, k = 768, 384, 384, 5
+    vecs = rng.integers(0, 200, (n, d)).astype(np.float32)
+    corpus = Corpus(vectors=vecs, doc_ids=np.repeat(np.arange(n // 4), 4),
+                    block_ids=np.arange(n) % 4)
+    world = TreeRBACGenerator(num_users=40, num_roles=16,
+                              num_docs=corpus.num_docs, h=3, b0=2, b1=2,
+                              seed=7).generate()
+    arena = build_device_arena(corpus, world, block_rows=256, dtype="int8")
+    qf = rng.integers(0, 200, (nq, d)).astype(np.float32)
+    base_users = rng.choice(world.num_users, 4, replace=False)
+    # balanced assignment (shuffled): slot padding stays within the 1.25x
+    # gate at this small nq
+    users = base_users[rng.permutation(np.arange(nq) % 4)]
+    masks = world.user_masks[users]
+
+    mk = dict(query_batch=128, q_tile=128, block_rows=256, group=8)
+    on = Int8FlatIndex(arena, None, **mk)
+    assert on.wide
+    off = Int8FlatIndex(arena, None, mask_dedup=False, **mk)
+    d1, i1 = on.search(qf, masks, k)
+    assert on._last_dedup, "gate should fire: 4 masks over 384 queries"
+    d0, i0 = off.search(qf, masks, k)
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_array_equal(d0, d1)
+
+
+def test_admit_dedup_wide_kernel(int_world):
+    """The wide (d-split) kernel's mask_sub_block leg must match its
+    per-query-mask output bit-for-bit under the interleaved slot layout
+    (same contract as the narrow kernel's admit-dedup)."""
+    import jax.numpy as jnp
+
+    from vectorsearch_rbac_tpu.core import Corpus, build_device_arena
+    from vectorsearch_rbac_tpu.ops.pallas_scan_int8 import (
+        int8_masked_topk_wide,
+    )
+
+    rng = np.random.default_rng(29)
+    n, d, nq, k, q_tile, sb = 512, 384, 64, 6, 32, 4
+    nsb = q_tile // sb
+    vecs = rng.integers(0, 200, (n, d)).astype(np.float32)
+    corpus = Corpus(vectors=vecs, doc_ids=np.repeat(np.arange(n // 4), 4),
+                    block_ids=np.arange(n) % 4)
+    world = TreeRBACGenerator(num_users=40, num_roles=16,
+                              num_docs=corpus.num_docs, h=3, b0=2, b1=2,
+                              seed=5).generate()
+    arena = build_device_arena(corpus, world, block_rows=256, dtype="int8")
+    q = arena.quant
+    qf = rng.integers(0, 200, (nq, d)).astype(np.float32)
+    # interleaved slot layout: query j carries slot j % nsb of its tile
+    pool_users = rng.choice(world.num_users, 5, replace=False)
+    qi = np.arange(nq)
+    mask_id = ((qi // q_tile) * nsb + (qi % nsb)) % 5
+    m_q = q.quantize_masks(world.user_masks[pool_users[mask_id]],
+                           world.num_roles)
+    m_sb = q.quantize_masks(
+        world.user_masks[pool_users[np.arange(nq // sb) % 5]],
+        world.num_roles)
+    qq, qn = q.quantize_queries(qf)
+    inv = jnp.float32(1.0 / q.scale**2)
+    base = (jnp.asarray(qq), jnp.asarray(qn), q.vectors_q, q.norms_q,
+            q.roles8)
+    d0, i0 = int8_masked_topk_wide(*base, jnp.asarray(m_q), inv, k,
+                                   q_tile=q_tile, block_rows=256, group=8,
+                                   merge="exact", interpret=True)
+    d1, i1 = int8_masked_topk_wide(*base, jnp.asarray(m_sb), inv, k,
+                                   q_tile=q_tile, block_rows=256, group=8,
+                                   merge="exact", interpret=True,
+                                   mask_sub_block=sb)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))

@@ -511,7 +511,7 @@ class Int8FlatIndex:
         # The wire format is unchanged — the device derives slot one-hots
         # from each slot's first query. Results scatter back at finalize.
         nq0 = nq
-        sb = self.mask_sb if (self.mask_dedup and not self.wide) else 0
+        sb = self.mask_sb if self.mask_dedup else 0
         dedup_src = dedup_valid = None
         mk_rows = None
         if sb and q_tile % sb == 0 and q_tile // sb >= 8 \

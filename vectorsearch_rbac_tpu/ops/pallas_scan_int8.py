@@ -293,13 +293,13 @@ def _merge_group_minima(packed, query_norms, inv_scale_sq, k, group, merge,
 
 
 def _make_wide_kernel(group: int, nk: int, metric: str,
-                      score_shift: int = 0):
+                      score_shift: int = 0, mask_sb: int = 0):
     """d-split variant: the reduction dimension joins the grid and partial
     dots accumulate in a VMEM scratch, so wide corpora (768-d cohere
     shapes) keep FULL row/query tiles instead of shrinking them ~8x to fit
     (block_rows, d) in VMEM (the round-2 1.3k-QPS limiter, PERF.md
     768-d section). The packed group-min epilogue runs once, on the last
-    d-chunk."""
+    d-chunk. mask_sb: admit-dedup slot width (see _make_kernel)."""
 
     def _kernel(q_ref, x_ref, n_ref, r_ref, m_ref, out_ref, acc_ref):
         kd = pl.program_id(2)
@@ -331,6 +331,8 @@ def _make_wide_kernel(group: int, nk: int, metric: str,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
+            if mask_sb:
+                admit = pltpu.repeat(admit, mask_sb, axis=1)
             g = b // group
             lane = jax.lax.broadcasted_iota(jnp.int32, (g, group, tq), 1)
             packed = jnp.where(
@@ -346,7 +348,7 @@ def _make_wide_kernel(group: int, nk: int, metric: str,
 @functools.partial(
     jax.jit, static_argnames=("k", "q_tile", "block_rows", "group",
                               "d_chunk", "merge", "interpret", "metric",
-                              "score_shift")
+                              "score_shift", "mask_sub_block")
 )
 def int8_masked_topk_wide(
     queries_q: jax.Array,    # (Q, d_pad) int8
@@ -366,6 +368,8 @@ def int8_masked_topk_wide(
     metric: str = "l2",
     query_bias: jax.Array = None,
     score_shift: int = 0,
+    mask_sub_block: int = 0,  # admit-dedup slot width (see the narrow
+                              # kernel); masks8 is (Q/sb, R_pad)
 ) -> Tuple[jax.Array, jax.Array]:
     """Wide-d form of int8_masked_topk (same contract): the d dimension is
     a third grid axis with VMEM-scratch accumulation, so 768-d runs at full
@@ -376,6 +380,10 @@ def int8_masked_topk_wide(
     npad = vectors_q.shape[0]
     assert nq % q_tile == 0 and npad % block_rows == 0
     assert group in (8, 16, 32, 64, 128)
+    sb = mask_sub_block
+    if sb:
+        assert q_tile % sb == 0 and masks8.shape[0] == nq // sb, (
+            q_tile, sb, masks8.shape)
     d_chunk = min(d_chunk, d_pad)
     while d_pad % d_chunk:      # d_pad is a 128-multiple; fall to one that
         d_chunk //= 2           # divides (384 -> 128, etc.)
@@ -387,7 +395,7 @@ def int8_masked_topk_wide(
     norms2d = norms_q.reshape(1, npad)
 
     packed = pl.pallas_call(
-        _make_wide_kernel(group, nk, metric, score_shift),
+        _make_wide_kernel(group, nk, metric, score_shift, mask_sb=sb),
         grid=grid,
         in_specs=[
             pl.BlockSpec((q_tile, d_chunk), lambda i, j, kd: (i, kd),
@@ -398,7 +406,8 @@ def int8_masked_topk_wide(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_rows, r_pad), lambda i, j, kd: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((q_tile, r_pad), lambda i, j, kd: (i, 0),
+            pl.BlockSpec((q_tile // sb if sb else q_tile, r_pad),
+                         lambda i, j, kd: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
