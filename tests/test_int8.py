@@ -639,10 +639,13 @@ def test_admit_dedup_bit_identical(int_corpus, int_world, int_arena):
 
 
 def test_admit_dedup_wide_index_e2e(int_world):
-    """Index-level admit-dedup over the WIDE kernel path (d_pad > 256
-    selects int8_masked_topk_wide): grouping + slot one-hots + finalize
-    scatter must reproduce the per-query-mask results exactly, same as
-    the narrow path's test_admit_dedup_bit_identical."""
+    """Index-level policy: admit-dedup stays OFF on the WIDE kernel path
+    (d_pad > 256) — measured 17% slower at zero padding at 768-d because
+    the admissibility matmul is only ~14% of wide-kernel MACs
+    (results/r4_wide_admit_lab.json; PERF.md negative result). The wide
+    kernel itself still supports mask_sub_block (covered bit-identically
+    by test_admit_dedup_wide_kernel); this test pins the index gate and
+    that mask_dedup on/off agree on the wide path."""
     from vectorsearch_rbac_tpu.core import Corpus, build_device_arena
     from vectorsearch_rbac_tpu.index.flat_int8 import Int8FlatIndex
 
@@ -667,7 +670,7 @@ def test_admit_dedup_wide_index_e2e(int_world):
     assert on.wide
     off = Int8FlatIndex(arena, None, mask_dedup=False, **mk)
     d1, i1 = on.search(qf, masks, k)
-    assert on._last_dedup, "gate should fire: 4 masks over 384 queries"
+    assert not on._last_dedup, "wide path must keep admit-dedup gated off"
     d0, i0 = off.search(qf, masks, k)
     np.testing.assert_array_equal(i0, i1)
     np.testing.assert_array_equal(d0, d1)

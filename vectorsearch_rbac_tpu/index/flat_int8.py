@@ -511,7 +511,14 @@ class Int8FlatIndex:
         # The wire format is unchanged — the device derives slot one-hots
         # from each slot's first query. Results scatter back at finalize.
         nq0 = nq
-        sb = self.mask_sb if self.mask_dedup else 0
+        # admit-dedup stays OFF on the wide path: measured at the shipping
+        # 768-d geometry (results/r4_wide_admit_lab.json) the dedup variant
+        # is 17% slower at ZERO padding (55.1 vs 45.7 ms / 16k q / 262k
+        # rows) — the admit matmul is only r_pad/(d_pad+r_pad) ~ 14% of
+        # wide-kernel MACs, and the lane-repeat + VMEM pressure cost more
+        # than the shrink saves (narrow 128-d, where admit is ~50% of
+        # MACs, wins 20.9 -> 16.0 ms; results/r4_admit_lab.json)
+        sb = self.mask_sb if (self.mask_dedup and not self.wide) else 0
         dedup_src = dedup_valid = None
         mk_rows = None
         if sb and q_tile % sb == 0 and q_tile // sb >= 8 \

@@ -417,6 +417,13 @@ def int8_masked_topk_wide(
         out_shape=jax.ShapeDtypeStruct((n_groups, nq), jnp.int32),
         scratch_shapes=[pltpu.VMEM((block_rows, q_tile), jnp.int32)],
         interpret=interpret,
+        # admit-dedup's lane-repeat materializes an extra (block_rows,
+        # q_tile) int32 temp in the epilogue, ~1 MB past Mosaic's default
+        # 16 MB scoped budget at the shipping 768-d geometry — raise the
+        # cap (v5e has 128 MB physical VMEM); the non-dedup variant keeps
+        # the tuned default
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024) if sb else None),
     )(queries_q, vectors_q, norms2d, roles8, masks8)
 
     return _merge_group_minima(packed, query_norms, inv_scale_sq, k,
