@@ -69,3 +69,26 @@ def test_merge_supported_gate():
     assert not merge_supported(8192, 2048, 600)      # k beyond survivors
     assert not merge_supported(100, 2048, 10)        # sub not 8-multiple
     assert not merge_supported(1024, 2048, 10)       # sub < 64
+
+
+def test_merge_supported_rejects_undividable_q_tile():
+    """ADVICE r4: a large-but-awkward query count whose only multiple-of-8
+    divisors are tiny must be rejected (the old path forced qt = nq and
+    blew the VMEM budget instead of falling back to the cascade)."""
+    from vectorsearch_rbac_tpu.ops.pallas_merge import _pick_q_tile
+
+    nq = 8 * 331                                     # 2648: divisors 8, 2648
+    assert _pick_q_tile(64, nq, 2048) == 8           # exists but tiny
+    assert not merge_supported(8192, nq, 100)        # gate rejects it
+    # 2560 at 10M-scale sub: budget-constrained divisor is found, not nq
+    sub = 78848 // 32
+    qt = _pick_q_tile(sub, 2560, 2048)
+    assert qt > 0 and 2560 % qt == 0 and sub * qt * 4 <= 2_600_000
+    assert merge_supported(78848, 2560, 100)
+    # the 16384-group 1M crossover shape that OOM'd scoped VMEM at
+    # qt=2048 (sub=512 block 4.2 MB -> 19.7 MB stack): the calibrated
+    # budget must cap its block at ~2 MB
+    qt = _pick_q_tile(16384 // 32, 2048, 2048)
+    assert qt > 0 and (16384 // 32) * qt * 4 <= 2_600_000, qt
+    # headline 8192-group shape keeps the full 2048 tile
+    assert _pick_q_tile(8192 // 32, 2048, 2048) == 2048

@@ -278,9 +278,12 @@ class Int8FlatIndex:
                                # "f16"/"f32" ship the query (+2/+4 B/comp)
         merge: str = "pallas",  # group-minima merge: "pallas" (all-Pallas
                                # subgroup extraction + bitonic pairs sort,
-                               # output-identical to the cascade at 3.8x —
-                               # ops/pallas_merge.py; auto-falls-back to
-                               # cascade on shapes the gate rejects),
+                               # output-identical to the cascade at 3.8x
+                               # up to exact packed-value ties within a
+                               # subgroup, where the extraction collapses
+                               # duplicates — ops/pallas_merge.py; auto-
+                               # falls-back to cascade on shapes the gate
+                               # rejects),
                                # "cascade" (two-stage XLA top_k; miss
                                # probability ~1e-13), "auto"
                                # (exact/approx by n_groups), "exact",
@@ -351,6 +354,16 @@ class Int8FlatIndex:
         self.rerank_margin = rerank_margin
         self.dist16 = dist16
         self.wire = wire or ("bf16" if dist16 else "f32")
+        # The ids wire carries NO distance section: unpack_results_host
+        # synthesizes rank pseudo-distances (0..k-1), which are wrong for
+        # any cross-index merge or radius logic. Partition engines pin
+        # their tiers to real-distance wires (partition/base.py); refuse
+        # the combination here so it can't arise by config (ADVICE r4).
+        if self.wire == "ids" and rows is not None:
+            raise ValueError(
+                "wire='ids' returns rank pseudo-distances and cannot be "
+                "used on a partitioned Int8FlatIndex whose results get "
+                "merged — use 'u8'/'bf16'/'f32' for partition tiers")
         self.merge = merge
         self.mask_dedup = mask_dedup
         self.mask_sb = 16  # slot width; 16 measured best (2% padding on

@@ -114,16 +114,48 @@ def _make_bitonic_pairs_kernel(npc: int, keep: int):
     return _kernel
 
 
+def _pick_q_tile(sub: int, nq: int, q_tile: int,
+                 budget: int = 2_600_000) -> int:
+    """Largest multiple-of-8 divisor of nq that is <= q_tile AND keeps the
+    extraction block (sub, qt) int32 within the VMEM budget. Returns 0 when
+    none exists (callers must fall back to the cascade) — previously a
+    non-dividing nq forced qt = nq, silently blowing the budget on large
+    odd query counts (ADVICE r4).
+
+    Budget calibration: Mosaic's scoped-VMEM stack holds the input block
+    PLUS ~4x its size in unrolled round temporaries (measured: the
+    (sub=512, qt=2048) 4.2 MB block OOM'd at 19.7 of 16 MB scoped VMEM on
+    the 16384-group 1M crossover shape, while (256, 2048)=2 MB and
+    (2464, 256)=2.5 MB compile fine) — 2.6 MB keeps the stack under the
+    16 MB limit with margin and leaves the headline 8192-group geometry's
+    tile choice (qt=2048) unchanged."""
+    cap = min(q_tile, nq, budget // max(sub * 4, 1))
+    cap -= cap % 8
+    while cap >= 8:
+        if nq % cap == 0:
+            return cap
+        cap -= 8
+    return 0
+
+
 def merge_supported(n_groups: int, nq: int, k: int,
-                    nsub: int = 32, t: int = 16) -> bool:
-    """Static gate for the Pallas merge: geometry must divide cleanly and
-    the survivor pool must cover k. Callers fall back to the cascade when
+                    nsub: int = 32, t: int = 16,
+                    q_tile: int = 2048) -> bool:
+    """Static gate for the Pallas merge: geometry must divide cleanly, the
+    survivor pool must cover k, and a VMEM-budget-respecting query tile
+    must exist for both kernels. Callers fall back to the cascade when
     this is False (tiny test shapes, odd paddings)."""
     if n_groups % (nsub * 8) != 0:    # sub must be a sublane multiple
         return False
     if k > nsub * t - 8:              # leave headroom over k
         return False
-    return nq % 8 == 0 and n_groups // nsub >= 64
+    if nq % 8 != 0 or n_groups // nsub < 64:
+        return False
+    sub = n_groups // nsub
+    npc = nsub * t
+    if _pick_q_tile(sub, nq, q_tile) < 64:          # extraction kernel
+        return False
+    return _pick_q_tile(npc, nq, 512) >= 64         # bitonic kernel
 
 
 @functools.partial(jax.jit, static_argnames=("k", "nsub", "t", "q_tile",
@@ -140,12 +172,11 @@ def pallas_merge_topk(mins: jax.Array, k: int, nsub: int = 32, t: int = 16,
     assert ng % nsub == 0 and sub % 8 == 0 and t % 8 == 0
     assert npc & (npc - 1) == 0, (nsub, t)
     assert k <= npc
-    # VMEM budget: extraction block (sub, q_tile) int32 <= ~4.5 MB
-    qt = min(q_tile, nq)
-    while qt > 256 and sub * qt * 4 > 4_500_000:
-        qt //= 2
-    if nq % qt:
-        qt = nq   # tiny calls: one block
+    # VMEM budget: extraction block (sub, qt) int32 <= ~2.6 MB (see
+    # _pick_q_tile calibration note); qt must divide nq (no remainder
+    # blocks on TPU grids)
+    qt = _pick_q_tile(sub, nq, q_tile)
+    assert qt >= 8, (sub, nq, q_tile)   # merge_supported gates callers
     y, meta = pl.pallas_call(
         _make_extract_pairs_kernel(sub, t),
         grid=(nsub, nq // qt),
@@ -158,9 +189,8 @@ def pallas_merge_topk(mins: jax.Array, k: int, nsub: int = 32, t: int = 16,
     )(mins)
 
     keep = min(npc, max(8 * ((k + 7) // 8), 8))
-    bqt = min(512, nq)
-    if nq % bqt:
-        bqt = nq
+    bqt = _pick_q_tile(npc, nq, 512)
+    assert bqt >= 8, (npc, nq)
     ys, ms = pl.pallas_call(
         _make_bitonic_pairs_kernel(npc, keep),
         grid=(nq // bqt,),

@@ -102,7 +102,14 @@ def load_arena_snapshot(path: str, device=None):
     """Inverse of save_arena_snapshot: npz -> device-resident DeviceArena,
     skipping corpus generation AND quantization. The float mirror comes
     from the stored bf16 (lossy corpora) or an exact dequantization of the
-    int8 codes (lossless)."""
+    int8 codes (lossless).
+
+    Precision note (ADVICE r4): for lossy corpora `host_vectors` is
+    bf16-rounded f32 after a round-trip, while a freshly built arena keeps
+    the original f32 host mirror. Device serving is unaffected (the device
+    mirror is bf16 either way), but host-side consumers needing exact f32
+    values (external ground-truth checks) should recompute from the source
+    corpus rather than from a restored arena."""
     import jax
     import jax.numpy as jnp
 
