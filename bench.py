@@ -159,10 +159,15 @@ def main():
     oracle = GroundTruthOracle(gt_arena, cache_dir="artifacts",
                                block_rows=min(args.block_rows, 65536),
                                query_batch=1024)
+    # FULL-workload exact ground truth (reference computes recall for every
+    # query, common_function.py:1392-1399): the oracle is a batched device
+    # matmul + top-k, disk-cached by content hash, so the full 32k pass is
+    # one extra cached device sweep rather than a sampling compromise.
     t0 = time.perf_counter()
     truth = compute_truth_sample(oracle, corpus, world, workload, args.topk,
-                                 recall_sample=2048)
-    log(f"ground truth: {time.perf_counter() - t0:.1f}s")
+                                 recall_sample=None)
+    log(f"ground truth ({len(truth)} queries, exact): "
+        f"{time.perf_counter() - t0:.1f}s")
     del oracle, gt_arena
     gc.collect()
 
@@ -185,7 +190,7 @@ def main():
                         k=args.topk, warmup_runs=2,
                         timed_batches=8 if args.smoke else 256,
                         build_time_s=build_s + strat_build_s,
-                        recall_sample=2048, truth=truth,
+                        recall_sample=None, truth=truth,
                         per_query_path=args.per_query or None)
     log(res.to_json())
 

@@ -96,9 +96,11 @@ class GroundTruthOracle:
         return idx
 
 
-def compute_recall(result_ids: np.ndarray, truth_ids: np.ndarray) -> float:
-    """Mean recall@k over queries (reference common_function.py:1154
-    compute_recall): |result ∩ truth| / |truth|, ignoring -1 pads."""
+def per_query_recall(result_ids: np.ndarray,
+                     truth_ids: np.ndarray) -> np.ndarray:
+    """Recall@k per query (reference common_function.py:1154
+    compute_recall): |result ∩ truth| / |truth|, ignoring -1 pads.
+    Queries with empty truth are skipped (not counted as 1.0)."""
     recalls = []
     for got, want in zip(result_ids, truth_ids):
         w = set(int(x) for x in want if x >= 0)
@@ -106,4 +108,10 @@ def compute_recall(result_ids: np.ndarray, truth_ids: np.ndarray) -> float:
             continue
         g = set(int(x) for x in got if x >= 0)
         recalls.append(len(g & w) / len(w))
-    return float(np.mean(recalls)) if recalls else 1.0
+    return np.asarray(recalls, dtype=np.float64)
+
+
+def compute_recall(result_ids: np.ndarray, truth_ids: np.ndarray) -> float:
+    """Mean recall@k over queries."""
+    r = per_query_recall(result_ids, truth_ids)
+    return float(np.mean(r)) if r.size else 1.0

@@ -23,7 +23,7 @@ from ..core import Corpus
 from ..partition.base import PartitionedSearcher
 from ..rbac.world import RBACWorld
 from ..utils.logger import get_logger
-from .ground_truth import GroundTruthOracle, compute_recall
+from .ground_truth import GroundTruthOracle, compute_recall, per_query_recall
 from .queries import QueryWorkload
 
 logger = get_logger("harness")
@@ -317,7 +317,16 @@ def run_benchmark(
     if clean.size == 0:
         clean = lat_arr
 
-    recall = compute_recall(ids[:ns], truth)
+    # full-workload recall accounting (reference computes recall for EVERY
+    # query, common_function.py:1392-1399): when the caller supplies exact
+    # ground truth for all queries (bench.py does since round 5 — the
+    # oracle is one cached device pass) this is exact; when a sample was
+    # used, ship the standard error of the estimate next to avg_recall so
+    # the report carries its own confidence.
+    recalls_pq = per_query_recall(ids[:ns], truth)
+    recall = float(np.mean(recalls_pq)) if recalls_pq.size else 1.0
+    recall_se = (float(np.std(recalls_pq) / np.sqrt(recalls_pq.size))
+                 if recalls_pq.size else 0.0)
 
     if per_query_path:
         lat_by_qi = {int(qi): ms for qi, ms in zip(lat_idx, per_query_ms)}
@@ -354,6 +363,9 @@ def run_benchmark(
                 for name, stats in getattr(searcher, "timer", None).report().items()
             } if getattr(searcher, "timer", None) else {},
             batched_ms_per_query=wall / nq * 1000.0,
+            recall_sample=ns,
+            recall_exact_full_workload=bool(ns >= nq),
+            recall_se=round(recall_se, 6),
             latency_sample=n_lat,
             latency_stall_filtered=n_stalled,
             latency_raw_p99_ms=float(np.percentile(lat_arr, 99)),
