@@ -383,3 +383,61 @@ def test_native_insert_update_parity(small_world, small_corpus, monkeypatch):
     native_r, python_r = recalls
     assert abs(native_r - python_r) <= 0.1, recalls
     assert native_r > 0.8, recalls
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_hnsw_packed_row_parity(small_world):
+    """Round-5 packed-row gather (ops/graph_search packed_rows): on a
+    LOSSLESS int8 arena the packed iterative search must match the
+    legacy three-gather path — same admissibility, same oracle recall
+    band, and finalized distances equal to true squared-L2."""
+    from vectorsearch_rbac_tpu.data import sift_like_corpus
+
+    corpus, qpool = sift_like_corpus(num_vectors=800, blocks_per_doc=4,
+                                     seed=5)
+    arena = build_device_arena(corpus, small_world, block_rows=128,
+                               dtype="int8")
+    assert arena.quant is not None and arena.quant.lossless
+
+    idx_p = HNSWIndex(arena, rows=None, m=8, ef_construction=48,
+                      ef_search=64, query_batch=16, builder="classic",
+                      seed=0)
+    assert idx_p.use_packed, "auto packed mode should be on (lossless int8)"
+    idx_l = HNSWIndex(arena, rows=None, m=8, ef_construction=48,
+                      ef_search=64, query_batch=16, builder="classic",
+                      seed=0, use_packed=False)
+
+    rng = np.random.default_rng(9)
+    nq = 16
+    q = qpool[rng.integers(0, len(qpool), nq)].astype(np.float32)
+    users = rng.integers(0, small_world.num_users, nq)
+    masks = small_world.user_masks[users]
+    dp, ip_ = idx_p.search(q, masks, k=8, ef_search=48, sampled_entry=True)
+    dl, il = idx_l.search(q, masks, k=8, ef_search=48, sampled_entry=True)
+    assert idx_p._packed is not None
+
+    bits = np.asarray(arena.role_bits)
+    overlap = hits_p = hits_l = total = 0
+    for qi in range(nq):
+        got_p = set(int(x) for x in ip_[qi] if x >= 0)
+        got_l = set(int(x) for x in il[qi] if x >= 0)
+        for rid in got_p:
+            assert (bits[rid] & masks[qi]).any(), "permission violation"
+        # packed distances are true squared-L2 of the dequant (= exact) rows
+        for rank, rid in enumerate(ip_[qi]):
+            if rid >= 0:
+                true = float(((corpus.vectors[rid] - q[qi]) ** 2).sum())
+                assert abs(dp[qi][rank] - true) <= 1e-2 + 1e-4 * true
+        allowed = (bits[: corpus.n] & masks[qi]).any(axis=1)
+        dd = ((corpus.vectors - q[qi]) ** 2).sum(axis=1)
+        dd[~allowed] = np.inf
+        order = np.argsort(dd, kind="stable")[:8]
+        want = set(order[np.isfinite(dd[order])].tolist())
+        hits_p += len(want & got_p)
+        hits_l += len(want & got_l)
+        total += len(want)
+        overlap += len(got_p & got_l) / max(len(got_p | got_l), 1)
+    # same engine semantics: recall parity and heavy result overlap
+    assert abs(hits_p - hits_l) / max(total, 1) <= 0.1, (hits_p, hits_l)
+    assert hits_p / max(total, 1) > 0.75, hits_p / max(total, 1)
+    assert overlap / nq > 0.8, overlap / nq

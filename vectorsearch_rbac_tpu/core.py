@@ -416,6 +416,47 @@ def build_device_arena(
     )
 
 
+def build_packed_graph_rows(arena: DeviceArena):
+    """(Npad, d_pad + r_pad + 4) int8 device table for the packed-row graph
+    step (ops/graph_search.py packed_rows): [int8 code | role one-hot |
+    f32 squared-norm bytes]. One row gather brings vector, permissions AND
+    norm — the round-5 replacement for the graph step's three separate
+    takes (vectors + norms + bits), which XLA gathers at ~50 ns/row each
+    regardless of width (scripts/r5_graph_fused_probe.py).
+
+    The norm bytes are the squared L2 norm of the DEQUANTIZED row
+    (vq/scale + center), so packed-mode scores are exactly the int8
+    engine's dequant distances (lossless for SIFT-family corpora; lossy
+    corpora should keep the bf16-mirror graph path or rerank on top).
+    """
+    import jax
+
+    q = arena.quant
+    assert q is not None, "packed graph rows need the int8 quant mirror"
+    vq = np.asarray(q.host_vectors_q if q.host_vectors_q is not None
+                    else q.vectors_q)
+    r8 = np.asarray(q.host_roles8 if q.host_roles8 is not None else q.roles8)
+    d = len(q.center)
+    v = vq[:, :d].astype(np.float32) / q.scale + q.center[None, :]
+    nrm = np.ascontiguousarray((v * v).sum(1, dtype=np.float32)
+                               .astype(np.float32))
+    nrm[arena.n:] = 0.0
+    packed = np.concatenate(
+        [vq, r8, nrm.view(np.int8).reshape(-1, 4)], axis=1)
+    return jax.device_put(packed)
+
+
+def packed_query_operands(arena: DeviceArena, queries: np.ndarray):
+    """Per-query operands for packed-row graph scoring: (dq_scale,
+    q_center_dot (Q,) f32). dots = (q . vq) * dq_scale + q . center."""
+    q = arena.quant
+    qf = np.asarray(queries, dtype=np.float32)
+    if arena.metric == "cosine":
+        qf = qf / np.maximum(
+            np.linalg.norm(qf, axis=1, keepdims=True), 1e-30)
+    return 1.0 / q.scale, (qf @ q.center).astype(np.float32)
+
+
 def tombstone_rows(arena: DeviceArena, rows: np.ndarray) -> DeviceArena:
     """Row-level delete, phase 1 (the pgvector delete-before-vacuum analog,
     reference pgvector/src/hnswvacuum.c: deleted heap TIDs stay in the index

@@ -255,6 +255,20 @@ class HNSWIndex:
                                 # benchmark/src/pointer_hnsw_index.cpp:77);
                                 # False = gathered per-partition copies (its
                                 # "physical" arm)
+        use_packed: Optional[bool] = None,  # packed-row gather for the
+                                # iterative engine (round 5): ONE int8 row
+                                # gather per candidate ([vq | roles8 |
+                                # norm]) instead of three takes — see
+                                # ops/graph_search packed_rows. None = auto:
+                                # on when the arena has a LOSSLESS int8
+                                # mirror and the index addresses arena rows
+                                # (logical or whole-arena); scores are then
+                                # bit-exact dequant distances. Lossy
+                                # corpora keep the bf16-mirror path unless
+                                # explicitly opted in. Built lazily; like
+                                # TiledSearcher chunks, a built table keeps
+                                # serving pre-tombstone bits until rebuilt
+                                # (pgvector index-until-VACUUM semantics).
     ):
         import jax
         import jax.numpy as jnp
@@ -263,6 +277,17 @@ class HNSWIndex:
         self.ef_search = ef_search
         self.query_batch = query_batch
         self.logical = logical
+        rows_whole_arena = rows is None
+        packed_eligible = (
+            arena.quant is not None
+            and arena.metric in ("l2", "ip", "cosine")
+            and (logical or rows_whole_arena)
+        )
+        if use_packed is None:
+            use_packed = packed_eligible and bool(arena.quant.lossless)
+        self.use_packed = bool(use_packed) and packed_eligible
+        self._packed_arena = arena if self.use_packed else None
+        self._packed = None
         # serving metric follows the arena. Graph CONSTRUCTION is L2-based;
         # for "cosine" the arena rows are unit vectors so L2 order == cosine
         # order (exact); for "ip" the L2 graph is a navigable proxy (pair
@@ -949,6 +974,18 @@ class HNSWIndex:
         kk = min(k + 8, ef)
         out_d = np.empty((nq, k), dtype=np.float32)
         out_i = np.empty((nq, k), dtype=np.int64)
+        packed_kw = {}
+        if iterative and self.use_packed:
+            from ..core import (
+                bits_to_onehot8, build_packed_graph_rows,
+                packed_query_operands,
+            )
+
+            ar = self._packed_arena
+            if self._packed is None:
+                self._packed = build_packed_graph_rows(ar)
+            dqs, qcd = packed_query_operands(ar, q)
+            r_pad = ar.quant.r_pad
         # adaptive pow2 batch: probe groups are often much smaller than the
         # configured batch (a (comb, partition) group holds ~nq/combs
         # queries); padding them all to query_batch would waste most of
@@ -969,12 +1006,21 @@ class HNSWIndex:
                 if entries is not None:
                     ent[: e - s] = np.asarray(entries[s:e], dtype=np.int32)
                 ms = max_steps or 4 * ef
+                if self.use_packed:
+                    qcd_b = np.zeros(bs, np.float32)
+                    qcd_b[: e - s] = qcd[s:e]
+                    packed_kw = dict(
+                        packed_rows=self._packed,
+                        mask8=jnp.asarray(bits_to_onehot8(mb, r_pad, r_pad)),
+                        dq_scale=float(dqs),
+                        q_center_dot=jnp.asarray(qcd_b),
+                    )
                 d, i = graph_search_iterative_fn(
                     jnp.asarray(qb), self._vectors, self._norms, self._bits,
                     self._graph, jnp.asarray(mb), jnp.asarray(ent), kk, ef,
                     ms, harvest_2hop,
                     row_map=self._row_map if self.logical else None,
-                    metric=self.metric,
+                    metric=self.metric, **packed_kw,
                 )
             else:
                 fn = (graph_search_filtered_fn if filtered_traversal

@@ -372,6 +372,21 @@ def graph_beam_search_iterative(
                              # budget is exhausted terminates exactly as if
                              # it ran in its own dispatch with
                              # max_steps=budget.
+    packed_rows: jax.Array = None,  # (n_pad, d_pad + r_pad + 4) int8 —
+                             # PACKED-ROW mode (round 5): one gather per
+                             # candidate brings [int8 code | role one-hot |
+                             # f32 norm bytes] instead of the three
+                             # separate row gathers (bf16 vector + f32
+                             # norm + u32 bits). XLA's row gather runs at
+                             # ~50 ns/row regardless of width, so 3 takes
+                             # -> 1 take cuts the gather half of the step
+                             # (3.45 of 5.3 ms at Q=2048,
+                             # scripts/gather_attrib_probe.py) roughly 3x.
+                             # Build with core.build_packed_graph_rows.
+    mask8: jax.Array = None,  # (Q, r_pad) int8 0/1 role one-hot per query
+                             # (packed mode's admissibility operand)
+    dq_scale: float = 1.0,   # 1 / quant scale (packed mode dequant)
+    q_center_dot: jax.Array = None,  # (Q,) f32 query . quant-center
 ) -> Tuple[jax.Array, jax.Array]:
     """Iterative-rescan filtered beam search — the batched analog of
     pgvector's `hnsw.iterative_scan` (reference pgvector/src/hnsw.c:90,
@@ -448,8 +463,40 @@ def graph_beam_search_iterative(
         ok = jnp.any(jnp.bitwise_and(query_masks[:, None, :], bits) != 0, axis=-1)
         return jnp.logical_and(ok, ids >= 0)
 
+    if packed_rows is not None:
+        assert metric != "l1", "packed-row graph mode has no l1 form"
+        unit = packed_rows.shape[1]
+        d_pack = unit - 4 - mask8.shape[1]   # [vq | roles8 | norm f32]
+        qp = q if q.shape[1] == d_pack else jnp.pad(
+            q, ((0, 0), (0, d_pack - q.shape[1])))
+        qcd = (jnp.zeros((nq,), jnp.float32) if q_center_dot is None
+               else q_center_dot)
+
+        def score_admit(ids):
+            """One gather: (scores, admissible) for candidate ids."""
+            rowsv = jnp.take(packed_rows, _rows(ids), axis=0)  # (Q,C,unit)
+            v8 = rowsv[..., :d_pack].astype(jnp.float32)
+            dots = (jnp.einsum("qd,qcd->qc", qp, v8,
+                               preferred_element_type=jnp.float32)
+                    * jnp.float32(dq_scale) + qcd[:, None])
+            if metric == "l2":
+                nrm = jax.lax.bitcast_convert_type(
+                    rowsv[..., d_pack + mask8.shape[1]:], jnp.float32
+                ).reshape(rowsv.shape[:-1])
+                s = nrm - 2.0 * dots
+            else:
+                s = -dots
+            admit = jnp.any(
+                (rowsv[..., d_pack:d_pack + mask8.shape[1]]
+                 & mask8[:, None, :]) != 0, axis=-1)
+            valid = ids >= 0
+            return jnp.where(valid, s, INF), admit & valid
+    else:
+        def score_admit(ids):
+            return dist_to(ids), allowed(ids)
+
     entry_ids = entries.astype(jnp.int32).reshape(nq, 1)
-    entry_d = dist_to(entry_ids)
+    entry_d, e_ok = score_admit(entry_ids)
     # the beam holds ONLY unexpanded candidates (pgvector's candidate
     # queue): expanded nodes leave, so the frontier never starves — the
     # round-1 beam kept expanded nodes, which crowded out far unexpanded
@@ -460,7 +507,6 @@ def graph_beam_search_iterative(
 
     res_ids = jnp.full((nq, k), -1, jnp.int32)
     res_d = jnp.full((nq, k), INF)
-    e_ok = allowed(entry_ids)
     res_ids = res_ids.at[:, 0].set(jnp.where(e_ok[:, 0], entry_ids[:, 0], -1))
     res_d = res_d.at[:, 0].set(jnp.where(e_ok[:, 0], entry_d[:, 0], INF))
 
@@ -501,7 +547,7 @@ def graph_beam_search_iterative(
         seen = (jnp.any(nb[:, :, None] == beam_ids[:, None, :], axis=-1)
                 | jnp.any(nb[:, :, None] == history[:, None, :], axis=-1))
         nb = jnp.where(seen, -1, nb)
-        nd = dist_to(nb)
+        nd, nb_ok = score_admit(nb)
 
         # queue merge: keep the ef nearest unexpanded candidates
         all_ids = jnp.concatenate([beam_ids, nb], axis=1)
@@ -526,8 +572,9 @@ def graph_beam_search_iterative(
             # reachable); dedupe against the current result list and
             # against in-hop duplicates instead
             seen_res = jnp.any(nb2[:, :, None] == res_ids[:, None, :], axis=-1)
-            ok2 = allowed(nb2) & ~seen_res
-            nd2 = jnp.where(ok2, dist_to(nb2), INF)
+            d2_raw, ok2_raw = score_admit(nb2)
+            ok2 = ok2_raw & ~seen_res
+            nd2 = jnp.where(ok2, d2_raw, INF)
             nb2 = jnp.where(ok2, nb2, -1)
             negh, posh = jax.lax.top_k(-nd2, k)
             hv_d = -negh
@@ -545,10 +592,10 @@ def graph_beam_search_iterative(
             nb_in_res = jnp.any(nb[:, :, None] == res_ids[:, None, :], axis=-1)
             cand_ids = jnp.concatenate([nb, hv_ids], axis=1)
             cand_d = jnp.concatenate(
-                [jnp.where(allowed(nb) & ~nb_in_res, nd, INF), hv_d], axis=1)
+                [jnp.where(nb_ok & ~nb_in_res, nd, INF), hv_d], axis=1)
         else:
             cand_ids = nb
-            cand_d = jnp.where(allowed(nb), nd, INF)
+            cand_d = jnp.where(nb_ok, nd, INF)
         r_ids = jnp.concatenate([res_ids, cand_ids], axis=1)
         r_d = jnp.concatenate([res_d, cand_d], axis=1)
         neg_top, pos = jax.lax.top_k(-r_d, k)
@@ -573,14 +620,18 @@ def graph_beam_search_iterative(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "ef", "max_steps", "harvest_2hop", "metric")
+    jax.jit, static_argnames=("k", "ef", "max_steps", "harvest_2hop",
+                              "metric", "dq_scale")
 )
 def graph_search_iterative_fn(queries, vectors, norms, role_bits, graph,
                               query_masks, entries, k, ef, max_steps,
                               harvest_2hop=False, row_map=None, metric="l2",
-                              pids=None, step_budget=None):
+                              pids=None, step_budget=None, packed_rows=None,
+                              mask8=None, dq_scale=1.0, q_center_dot=None):
     return graph_beam_search_iterative(
         queries, vectors, norms, role_bits, graph, query_masks, entries,
         k=k, ef=ef, max_steps=max_steps, harvest_2hop=harvest_2hop,
         row_map=row_map, metric=metric, pids=pids, step_budget=step_budget,
+        packed_rows=packed_rows, mask8=mask8, dq_scale=dq_scale,
+        q_center_dot=q_center_dot,
     )

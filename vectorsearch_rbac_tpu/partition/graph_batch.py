@@ -167,6 +167,22 @@ class GraphProbeBatcher:
 
         from ..ops.graph_search import graph_search_iterative_fn
 
+        # packed-row gather (round 5): one int8 take per candidate instead
+        # of the three bf16/f32/u32 takes — auto when the arena carries a
+        # LOSSLESS int8 mirror (scores stay bit-exact dequant distances)
+        packed = None
+        if (self.arena.quant is not None and self.arena.quant.lossless
+                and self.metric in ("l2", "ip", "cosine")):
+            if getattr(self, "_packed", None) is None:
+                from ..core import build_packed_graph_rows
+
+                self._packed = build_packed_graph_rows(self.arena)
+            packed = self._packed
+            from ..core import bits_to_onehot8, packed_query_operands
+
+            dqs, qcd = packed_query_operands(self.arena, queries)
+            r_pad = self.arena.quant.r_pad
+
         out: List[Optional[Tuple[np.ndarray, np.ndarray]]] = [None] * len(jobs)
         # group key: (class, ef, harvest). max_steps is NOT a key — it
         # rides as a traced per-query budget (ops/graph_search step_budget),
@@ -225,12 +241,23 @@ class GraphProbeBatcher:
                 pb[: e - s] = parr[s:e]
                 eb[: e - s] = earr[s:e]
                 bb[: e - s] = barr[s:e]
+                packed_kw = {}
+                if packed is not None:
+                    qcd_b = np.zeros(bs, np.float32)
+                    qcd_b[: e - s] = qcd[qarr[s:e]]
+                    packed_kw = dict(
+                        packed_rows=packed,
+                        mask8=jnp.asarray(
+                            bits_to_onehot8(mb, r_pad, r_pad)),
+                        dq_scale=float(dqs),
+                        q_center_dot=jnp.asarray(qcd_b),
+                    )
                 d, i = graph_search_iterative_fn(
                     jnp.asarray(qb), self.arena.vectors, self.arena.norms,
                     self.arena.role_bits, g3, jnp.asarray(mb),
                     jnp.asarray(eb), kk, ef_eff, ms_bound, harv,
                     row_map=rm2, metric=self.metric, pids=jnp.asarray(pb),
-                    step_budget=jnp.asarray(bb),
+                    step_budget=jnp.asarray(bb), **packed_kw,
                 )
                 if self.debug_timing:
                     jax.block_until_ready((d, i))
