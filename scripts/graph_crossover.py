@@ -132,16 +132,23 @@ def measure_case(corpus, qpool, world, n, d, sels, out, tag):
         # graph gets an ef LADDER (sampled entries + iterative rescan, the
         # round-3 best leg): its reported point is the fastest leg holding
         # recall >= 0.95, so the comparison is against the graph's own
-        # best operating point, not one fixed ef
+        # best operating point, not one fixed ef. max_steps = 4*ef (the
+        # serving default — capping steps at ef truncates classic
+        # termination and starves recall at scale), plus 2-hop harvest
+        # legs at low selectivity (the ACORN regime where they pay off).
         ladder = []
-        for ef in (40, 80, 160, 320):
-            wall_g, gd, gi = timed(lambda ef=ef: graph.search(
+        legs = [(ef, False) for ef in (40, 80, 160, 320)]
+        if sel <= 0.2:
+            legs += [(40, True), (80, True)]
+        for ef, harv in legs:
+            wall_g, gd, gi = timed(lambda ef=ef, hv=harv: graph.search(
                 queries, masks, TOPK, ef_search=ef, sampled_entry=True,
-                max_steps=max(64, ef)), passes=2)
+                max_steps=4 * ef, harvest_2hop=hv), passes=2)
             rec_g = compute_recall(gi, ti)
-            ladder.append({"ef": ef, "qps": round(NQ / wall_g, 1),
+            ladder.append({"ef": ef, "harvest": harv,
+                           "qps": round(NQ / wall_g, 1),
                            "recall": round(rec_g, 4)})
-            if rec_g >= 0.99:
+            if rec_g >= 0.99 and not harv:
                 break
         ok = [p for p in ladder if p["recall"] >= 0.95]
         best_g = (max(ok, key=lambda p: p["qps"]) if ok
@@ -153,6 +160,7 @@ def measure_case(corpus, qpool, world, n, d, sels, out, tag):
             "graph_qps": best_g["qps"],
             "graph_recall": best_g["recall"],
             "graph_ef": best_g["ef"],
+            "graph_harvest": best_g.get("harvest", False),
             "graph_ladder": ladder,
             "graph_build_s": round(build_s, 1),
             "winner": "graph" if (best_g["qps"] > NQ / wall_f
@@ -163,6 +171,11 @@ def measure_case(corpus, qpool, world, n, d, sels, out, tag):
               f"@{row['flat_recall']} | graph {row['graph_qps']} QPS "
               f"@{row['graph_recall']} (ef={row['graph_ef']}, ladder "
               f"{ladder}) -> {row['winner']}", flush=True)
+        # incremental checkpoint: a crash late in the sweep must not lose
+        # the measured cells (the round-4 run died at 1M with nothing
+        # written)
+        with open("results/graph_crossover.json", "w") as f:
+            json.dump(out, f, indent=2)
     del arena, flat, graph
     gc.collect()
 
