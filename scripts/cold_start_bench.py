@@ -29,9 +29,10 @@ import subprocess
 import sys
 import time
 
-N = 1_000_000
+N = int(os.environ.get("COLDSTART_N", 1_000_000))
 SNAP_DIR = "/root/repo/artifacts/coldstart"
-OUT = "/root/repo/results/cold_start.json"
+OUT = ("/root/repo/results/cold_start.json" if N == 1_000_000
+       else f"/root/repo/results/cold_start_{N // 1_000_000}m.json")
 
 
 def _queries(corpus_dim, world, k=100, nq=2048):
@@ -58,9 +59,18 @@ def phase_build():
     os.makedirs(SNAP_DIR, exist_ok=True)
     rep = {}
     t0 = time.perf_counter()
-    z = np.load("/root/repo/artifacts/corpus_sift1m_1000000_0.npz")
-    corpus = Corpus(vectors=z["vectors"], doc_ids=z["doc_ids"],
-                    block_ids=z["block_ids"])
+    cpath = f"/root/repo/artifacts/corpus_sift1m_{N}_0.npz"
+    if os.path.exists(cpath):
+        z = np.load(cpath)
+        corpus = Corpus(vectors=z["vectors"], doc_ids=z["doc_ids"],
+                        block_ids=z["block_ids"])
+    else:
+        from vectorsearch_rbac_tpu.data import sift_like_corpus
+
+        corpus, _ = sift_like_corpus(num_vectors=N, blocks_per_doc=100,
+                                     seed=0)
+        np.savez(cpath, vectors=corpus.vectors, doc_ids=corpus.doc_ids,
+                 block_ids=corpus.block_ids)
     rep["corpus_load_s"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -93,13 +103,13 @@ def phase_build():
     rep["tiled_first_query_s"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    save_arena_snapshot(arena, f"{SNAP_DIR}/arena_1m.npz")
-    tiled.save_snapshot(f"{SNAP_DIR}/tiled_role_1m.npz")
+    save_arena_snapshot(arena, f"{SNAP_DIR}/arena_{N}.npz")
+    tiled.save_snapshot(f"{SNAP_DIR}/tiled_role_{N}.npz")
     save_pickle(world, f"{SNAP_DIR}/world.pkl")
     rep["snapshot_save_s"] = time.perf_counter() - t0
     rep["snapshot_bytes"] = (
-        os.path.getsize(f"{SNAP_DIR}/arena_1m.npz")
-        + os.path.getsize(f"{SNAP_DIR}/tiled_role_1m.npz"))
+        os.path.getsize(f"{SNAP_DIR}/arena_{N}.npz")
+        + os.path.getsize(f"{SNAP_DIR}/tiled_role_{N}.npz"))
     print("BUILD " + json.dumps(rep), flush=True)
 
 
@@ -114,7 +124,7 @@ def phase_load():
     t_all = time.perf_counter()
     t0 = time.perf_counter()
     world = load_pickle(f"{SNAP_DIR}/world.pkl")
-    arena = load_arena_snapshot(f"{SNAP_DIR}/arena_1m.npz")
+    arena = load_arena_snapshot(f"{SNAP_DIR}/arena_{N}.npz")
     rep["arena_load_s"] = time.perf_counter() - t0    # disk + device_put
 
     q, users, masks = _queries(arena.dim, world)
@@ -130,7 +140,7 @@ def phase_load():
     t0 = time.perf_counter()
     user_to_roles = world.user_to_roles
     import numpy as np
-    data = np.load(f"{SNAP_DIR}/tiled_role_1m.npz", allow_pickle=False)
+    data = np.load(f"{SNAP_DIR}/tiled_role_{N}.npz", allow_pickle=False)
     meta = json.loads(str(data["__meta__"]))
     pids = set(int(p) for p in meta["part_chunks"]) | set(
         int(p) for p in meta["big"])
@@ -139,7 +149,7 @@ def phase_load():
         return tuple(r for r in user_to_roles.get(uid, ()) if r in pids)
 
     tiled = TiledSearcher.from_snapshot(arena, router,
-                                        f"{SNAP_DIR}/tiled_role_1m.npz")
+                                        f"{SNAP_DIR}/tiled_role_{N}.npz")
     rep["tiled_restore_s"] = time.perf_counter() - t0
     t0 = time.perf_counter()
     tiled.search_batch(q[:256], users[:256], world.user_masks, 100)

@@ -79,6 +79,11 @@ def corpus_for(n: int, d: int, seed: int):
 
 
 def measure_case(corpus, qpool, world, n, d, sels, out, tag):
+    done = {(c["n"], c["d"], c["selectivity"]) for c in out["cases"]}
+    sels = {u: s for u, s in sels.items() if (n, d, s) not in done}
+    if not sels:
+        print(f"[{tag}] all cells checkpointed — skip", flush=True)
+        return
     rng = np.random.default_rng(7)
     queries = qpool[rng.choice(len(qpool), NQ, replace=False)].astype(
         np.float32)
@@ -189,6 +194,16 @@ def main():
                      "(sampled entries + iterative rescan) vs fused int8 "
                      "flat scan; within-index selectivity via 4-role world",
            "cases": []}
+    # resume from the incremental checkpoint: measured (n, d, sel) cells
+    # are kept verbatim and their (arena + HNSW) builds skipped entirely
+    import os
+
+    if os.path.exists("results/graph_crossover.json"):
+        with open("results/graph_crossover.json") as f:
+            prev = json.load(f)
+        out["cases"] = prev.get("cases", [])
+        print(f"resuming: {len(out['cases'])} cells checkpointed",
+              flush=True)
 
     for n in (131072, 262144, 524288, 1_000_000):
         corpus, qpool = corpus_for(n, 128, seed=0)

@@ -294,8 +294,9 @@ def main():
         out["pallas_dma_error"] = repr(e)[:300]
         print("pallas DMA gather failed:", repr(e)[:300], flush=True)
 
-    with open("results/r5_graph_fused_probe.json", "w") as f:
-        json.dump(out, f, indent=2)
+    if not TINY:   # TINY is a CPU shape check — never a results artifact
+        with open("results/r5_graph_fused_probe.json", "w") as f:
+            json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))
 
 

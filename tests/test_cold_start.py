@@ -98,3 +98,33 @@ def test_tiled_snapshot_roundtrip(tmp_path, corpus, world, arena):
     # storage accounting survives the trip
     assert s2.storage_report()["num_partitions"] == \
         s1.storage_report()["num_partitions"]
+
+
+def test_tiled_light_snapshot_rederives_chunks(tmp_path, corpus, world,
+                                               arena):
+    """The light (default) snapshot stores only rowC + meta; the packed
+    vec/norm/role chunks re-derived on device from the arena quant arrays
+    must match the builder's bit-for-bit, and the file must be much
+    smaller than the pack_arrays form."""
+    import os
+
+    from vectorsearch_rbac_tpu.partition.strategies import build_role_searcher
+    from vectorsearch_rbac_tpu.partition.tiled import TiledSearcher
+
+    cfg = FrameworkConfig(seed=0)
+    cfg.index.kind = "flat_approx"
+    s1 = build_role_searcher(corpus, world, arena, cfg)
+    light = str(tmp_path / "light.npz")
+    heavy = str(tmp_path / "heavy.npz")
+    s1.save_snapshot(light)
+    s1.save_snapshot(heavy, pack_arrays=True)
+    assert os.path.getsize(light) < os.path.getsize(heavy) / 2
+
+    s2 = TiledSearcher.from_snapshot(arena, s1.router, light)
+    np.testing.assert_array_equal(np.asarray(s1._vecC), np.asarray(s2._vecC))
+    np.testing.assert_array_equal(np.asarray(s1._normC),
+                                  np.asarray(s2._normC))
+    np.testing.assert_array_equal(np.asarray(s1._roleC),
+                                  np.asarray(s2._roleC))
+    s3 = TiledSearcher.from_snapshot(arena, s1.router, heavy)
+    np.testing.assert_array_equal(np.asarray(s2._vecC), np.asarray(s3._vecC))

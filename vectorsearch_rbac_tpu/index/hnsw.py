@@ -213,8 +213,11 @@ def _device_knn_graph(vec: np.ndarray, k: int, block: int = 4096) -> np.ndarray:
 
     import functools
 
+    # v/norms are ARGUMENTS, not closure captures: a captured device array
+    # is inlined into the HLO as a literal, and at 768-d that is a ~400 MB
+    # compile payload (the remote-compile tunnel rejects it with HTTP 413).
     @functools.partial(jax.jit, static_argnames=("k",))
-    def block_knn(qb, k):
+    def block_knn(qb, v, norms, k):
         dots = jnp.dot(qb, v.T, preferred_element_type=jnp.float32)
         s = norms[None, :] - 2.0 * dots
         _, idx = jax.lax.top_k(-s, k + 1)  # +1: self
@@ -226,7 +229,7 @@ def _device_knn_graph(vec: np.ndarray, k: int, block: int = 4096) -> np.ndarray:
         e = min(s + block, n)
         qb = np.zeros((block, d), dtype=np.float32)
         qb[: e - s] = vec[s:e]
-        pending.append((s, e, block_knn(jnp.asarray(qb), k)))
+        pending.append((s, e, block_knn(jnp.asarray(qb), v, norms, k)))
     for s, e, idx in pending:
         out[s:e] = np.asarray(idx)[: e - s]
     return out

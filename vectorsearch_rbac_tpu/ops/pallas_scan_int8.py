@@ -299,12 +299,21 @@ def _make_wide_kernel(group: int, nk: int, metric: str,
     shapes) keep FULL row/query tiles instead of shrinking them ~8x to fit
     (block_rows, d) in VMEM (the round-2 1.3k-QPS limiter, PERF.md
     768-d section). The packed group-min epilogue runs once, on the last
-    d-chunk. mask_sb: admit-dedup slot width (see _make_kernel)."""
+    d-chunk. mask_sb: admit-dedup slot width (see _make_kernel).
+
+    The QUERY block is the full (q_tile, d_pad) tile, resident across the
+    whole (j, kd) sweep (index depends on i only): at the shipping 768-d
+    geometry a (q_tile, d_chunk) query spec re-fetched ~1.6 GB/pass and
+    stalled every grid step on the fetch (round-5 wide roofline,
+    results/r5_wide_roofline.json); the kernel slices its d-chunk from
+    the resident tile instead."""
 
     def _kernel(q_ref, x_ref, n_ref, r_ref, m_ref, out_ref, acc_ref):
         kd = pl.program_id(2)
+        dc = x_ref.shape[1]
+        q = q_ref[:, pl.ds(pl.multiple_of(kd * dc, dc), dc)]
         dots = jax.lax.dot_general(
-            x_ref[:], q_ref[:],
+            x_ref[:], q,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
         )                                           # (B, TQ)
@@ -398,7 +407,7 @@ def int8_masked_topk_wide(
         _make_wide_kernel(group, nk, metric, score_shift, mask_sb=sb),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((q_tile, d_chunk), lambda i, j, kd: (i, kd),
+            pl.BlockSpec((q_tile, d_pad), lambda i, j, kd: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_rows, d_chunk), lambda i, j, kd: (j, kd),
                          memory_space=pltpu.VMEM),
@@ -419,11 +428,15 @@ def int8_masked_topk_wide(
         interpret=interpret,
         # admit-dedup's lane-repeat materializes an extra (block_rows,
         # q_tile) int32 temp in the epilogue, ~1 MB past Mosaic's default
-        # 16 MB scoped budget at the shipping 768-d geometry — raise the
-        # cap (v5e has 128 MB physical VMEM); the non-dedup variant keeps
-        # the tuned default
+        # 16 MB scoped budget at the shipping 768-d geometry; big tiles
+        # (acc past ~4.5 MB) need headroom for the accumulator + epilogue
+        # temps too — raise the cap (v5e has 128 MB physical VMEM); the
+        # tuned default geometry keeps Mosaic's 16 MB
         compiler_params=(pltpu.CompilerParams(
-            vmem_limit_bytes=24 * 1024 * 1024) if sb else None),
+            vmem_limit_bytes=(48 if block_rows * q_tile * 4 > 4_500_000
+                              else 24) * 1024 * 1024)
+                         if sb or block_rows * q_tile * 4 > 4_500_000
+                         else None),
     )(queries_q, vectors_q, norms2d, roles8, masks8)
 
     return _merge_group_minima(packed, query_norms, inv_scale_sq, k,

@@ -174,23 +174,31 @@ class TiledSearcher:
 
     # ---------------------------------------------------------- snapshot
 
-    def save_snapshot(self, path: str) -> None:
+    def save_snapshot(self, path: str, pack_arrays: bool = False) -> None:
         """COLD-START persistence of the packed chunk state (VERDICT-r3
         item 5: 'a restart today means a full re-quantize/re-pack/
-        re-upload'). Everything derived from (quant arrays x plan) that is
-        expensive to rebuild ships in one npz: the packed chunk arrays,
-        the chunk routing tables, and the big-tier row lists. Pair with
-        utils.persist.save_arena_snapshot (the shared arena) and the plan
-        pickle (the router); from_snapshot then restores a serving-ready
-        engine with device uploads as the only remaining cost."""
+        re-upload'). Pair with utils.persist.save_arena_snapshot (the
+        shared arena) and the plan pickle (the router); from_snapshot then
+        restores a serving-ready engine.
+
+        Default (light) form stores only the ROW MAP + routing meta: the
+        packed vec/norm/role chunks are pure gathers of the arena's quant
+        arrays along rowC, so from_snapshot re-derives them ON DEVICE in
+        milliseconds instead of reading ~1 GB of redundant chunk bytes
+        from disk (round-4 measurement: the 979 MB packed snapshot made
+        restore SLOWER than a cold rebuild, results/cold_start.json).
+        pack_arrays=True keeps the heavyweight round-3 format for
+        arenas whose quant arrays will not be available at restore."""
         import json as _json
 
         import numpy as np
 
-        state = dict(
-            vecC=np.asarray(self._vecC), normC=np.asarray(self._normC),
-            roleC=np.asarray(self._roleC), rowC=np.asarray(self._rowC),
-        )
+        state = dict(rowC=np.asarray(self._rowC))
+        if pack_arrays:
+            state.update(
+                vecC=np.asarray(self._vecC), normC=np.asarray(self._normC),
+                roleC=np.asarray(self._roleC),
+            )
         big_meta = {}
         for pid, idx8 in self._big.items():
             rmap = np.asarray(idx8._row_map)
@@ -229,10 +237,32 @@ class TiledSearcher:
         self.scan_group = int(meta["scan_group"])
         self.num_roles = meta["num_roles"]
         self.timer = StageTimer()
-        self._vecC = jax.device_put(data["vecC"])
-        self._normC = jax.device_put(data["normC"])
-        self._roleC = jax.device_put(data["roleC"])
-        self._rowC = jax.device_put(data["rowC"])
+        rowC = data["rowC"]
+        self._rowC = jax.device_put(rowC)
+        if "vecC" in data.files:
+            # heavyweight (pack_arrays=True) snapshot: arrays ship as-is
+            self._vecC = jax.device_put(data["vecC"])
+            self._normC = jax.device_put(data["normC"])
+            self._roleC = jax.device_put(data["roleC"])
+        else:
+            # light snapshot: the chunks are gathers of the arena's quant
+            # arrays along rowC — re-derive on device (-1 rows are the
+            # dummy/pad slots: zero role one-hots, inadmissible for every
+            # query, matching the builder's zero-fill)
+            import jax.numpy as jnp
+
+            q = arena.quant
+            rC = self._rowC
+            safe = jnp.maximum(rC, 0)
+            valid = rC >= 0
+            self._vecC = jnp.where(
+                valid[..., None], jnp.take(q.vectors_q, safe, axis=0),
+                jnp.int8(0))
+            self._normC = jnp.where(
+                valid, jnp.take(q.norms_q, safe, axis=0), 0)
+            self._roleC = jnp.where(
+                valid[..., None], jnp.take(q.roles8, safe, axis=0),
+                jnp.int8(0))
         self.part_chunks = {int(p): list(c)
                             for p, c in meta["part_chunks"].items()}
         self._part_nrows = {int(p): int(n)
@@ -246,9 +276,8 @@ class TiledSearcher:
                 logical=bool(bm["logical"]))
         self.partitions = {pid: None
                            for pid in (*self.part_chunks, *self._big)}
-        nct = data["vecC"].shape[0]
-        d = data["vecC"].shape[2]
-        r_pad = data["roleC"].shape[2]
+        nct, _, d = self._vecC.shape
+        r_pad = self._roleC.shape[2]
         self._chunk_bytes = nct * self.chunk_rows * (d + r_pad + 4 + 4)
         return self
 
@@ -416,36 +445,51 @@ class TiledSearcher:
         with self.timer.stage("merge"):
             out_d = np.full((nq, k), np.inf)
             out_i = np.full((nq, k), -1, dtype=np.int64)
-            multi: Dict[int, List[Tuple[np.ndarray, np.ndarray]]] = {}
+            # Fan-out merge, vectorized over queries: a per-query
+            # merge_topk_host call costs ~50 us of numpy fixed overhead,
+            # and a high-fan-out router (qd-tree margin routing averages
+            # 4+ leaves/query) turns that into hundreds of ms per pass.
+            # Instead gather every multi-partition query's candidates into
+            # one (n_multi, fan_max * k) block and merge them in ONE
+            # vectorized call.
+            multi_q = np.flatnonzero(n_pids > 1)
+            if len(multi_q):
+                slot_of = np.full(nq, -1, dtype=np.int64)
+                slot_of[multi_q] = np.arange(len(multi_q))
+                fan_max = int(n_pids[multi_q].max())
+                md = np.full((len(multi_q), fan_max, k), np.inf)
+                mi = np.full((len(multi_q), fan_max, k), -1, dtype=np.int64)
+                fill = np.zeros(len(multi_q), dtype=np.int32)
+
+            def scatter(qarr: np.ndarray, d: np.ndarray, i: np.ndarray):
+                """qarr: query ids; d/i: (len(qarr), k) results for them."""
+                single = n_pids[qarr] == 1
+                if single.any():
+                    qs = qarr[single]
+                    out_d[qs] = d[single]
+                    out_i[qs] = i[single]
+                for j in np.flatnonzero(~single):
+                    sl = slot_of[qarr[j]]
+                    md[sl, fill[sl]] = d[j]
+                    mi[sl, fill[sl]] = i[j]
+                    fill[sl] += 1
+
             for slots, d, i in results:
                 for si, (pid, qidx) in enumerate(slots):
                     base = si * self.q_tile
-                    for j, qi in enumerate(qidx):
-                        if n_pids[qi] == 1:
-                            out_d[qi] = d[base + j]
-                            out_i[qi] = i[base + j]
-                        else:
-                            multi.setdefault(qi, []).append(
-                                (d[base + j:base + j + 1],
-                                 i[base + j:base + j + 1]))
+                    qarr = np.asarray(qidx, dtype=np.int64)
+                    scatter(qarr, d[base:base + len(qidx)],
+                            i[base:base + len(qidx)])
             for pid, qidx, fin in big_pending:
                 d, i = fin()
-                if all(n_pids[qi] == 1 for qi in qidx):
-                    out_d[qidx] = d
-                    out_i[qidx] = i
-                    continue
-                for j, qi in enumerate(qidx):
-                    if n_pids[qi] == 1:
-                        out_d[qi] = d[j]
-                        out_i[qi] = i[j]
-                    else:
-                        multi.setdefault(qi, []).append(
-                            (d[j:j + 1], i[j:j + 1]))
-            for qi, parts in multi.items():
-                md, mi = merge_topk_host([p[0] for p in parts],
-                                         [p[1] for p in parts], k)
-                out_d[qi] = md[0]
-                out_i[qi] = mi[0]
+                scatter(np.asarray(qidx, dtype=np.int64), d, i)
+            if len(multi_q):
+                f = len(multi_q)
+                mD, mI = merge_topk_host(
+                    [md.reshape(f, fan_max * k)],
+                    [mi.reshape(f, fan_max * k)], k)
+                out_d[multi_q] = mD
+                out_i[multi_q] = mI
         return out_d, out_i
 
     # ------------------------------------------------------------ storage
