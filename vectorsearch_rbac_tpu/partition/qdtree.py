@@ -217,7 +217,7 @@ def build_qd_tree(
     query_vecs: Optional[np.ndarray] = None,
     prune_margin: float = 0.25,
     visit_rows: Optional[float] = None,
-    radius_scale: float = 0.25,
+    radius_scale: float = 0.3,
 ) -> QDTree:
     """Row-level qd-tree (reference parity: qd_tree_partition_<p> tables
     hold documentblock ROWS and the centroid predicate is the k-means id
@@ -235,10 +235,13 @@ def build_qd_tree(
     rows_per_doc = max(corpus.avg_blocks_per_doc, 1.0)
     min_rows = min_leaf * rows_per_doc
     if visit_rows is None:
-        # engine constant (slot + merge share per leaf visit; chunk-class
-        # PADDING is modeled exactly by _scan_rows below), floored for
-        # tiny corpora where a large tax would forbid any split
-        visit_rows = min(512.0, max(n_rows / 16.0, 8.0))
+        # engine constant (dispatch-slot + merge share per leaf visit;
+        # chunk-class PADDING is modeled exactly by _scan_rows below),
+        # scaled down for tiny corpora where a large tax would forbid any
+        # split. 8192 measured best at 1M: lower taxes fragment the tree
+        # into 100+ leaves whose dispatch slots serialize (6.1k QPS at
+        # 114 partitions vs 19.4k at 27, results/qdtree_radius_sweep_1m)
+        visit_rows = min(8192.0, max(n_rows / 16.0, 8.0))
 
     # sampled workload as a (Sq, num_docs) bool matrix for vectorized
     # overlap tests; query_vecs[i] (if given) is query i's vector and
@@ -474,9 +477,14 @@ def build_qdtree_searcher(
                                       # predicates (reference
                                       # qd_tree_search_statistics_sql)
     prune_margin: float = 0.25,       # both-sides margin (legacy trees)
-    radius_scale: float = 0.25,       # multiprobe radius as a fraction of
+    radius_scale: float = 0.3,        # multiprobe radius as a fraction of
                                       # the measured kNN radius — the
-                                      # recall/QPS knob (see build_qd_tree)
+                                      # recall/QPS knob: 0.3 measured
+                                      # 19.4k QPS @ 0.9995 at 1M; 0.2
+                                      # fragments and serializes (3.3k)
+    visit_rows: Optional[float] = None,  # per-leaf-visit tax (rows) for
+                                      # the split scorer; None = engine
+                                      # default (see build_qd_tree)
     tree: Optional[QDTree] = None,
     packed: bool = True,
 ) -> PartitionedSearcher:
@@ -504,7 +512,8 @@ def build_qdtree_searcher(
                              min_leaf=min_leaf, max_depth=max_depth,
                              seed=cfg.seed, query_vecs=query_vecs,
                              prune_margin=prune_margin,
-                             radius_scale=radius_scale)
+                             radius_scale=radius_scale,
+                             visit_rows=visit_rows)
     validate_qdtree_partitions(tree, world)
 
     partition_rows: Dict[int, np.ndarray] = {}
