@@ -88,6 +88,10 @@ for name in ("rls", "role", "user", "dynamic", "qdtree"):
         "build_s": round(build_s, 1),
     }
     print(name, json.dumps(results[name]), flush=True)
+    # incremental checkpoint: a stalled tunnel late in the sweep must not
+    # lose the measured strategies
+    with open("results/strategy_compare_1m_r4.json", "w") as f:
+        json.dump(results, f, indent=2)
     del s
     gc.collect()
 
