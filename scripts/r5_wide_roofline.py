@@ -65,8 +65,18 @@ def timed(fn, passes=5):
 
 
 # ---- bound: the distance matmul alone ---------------------------------
-bound_fn = jax.jit(lambda a, b: jax.lax.dot_general(
-    a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32))
+# The full (16k, 262k) int32 product is 17 GB — over HBM, and writing it
+# would be bandwidth-bound (21 ms at 819 GB/s) rather than MXU-bound.
+# Tile over queries and fuse a row-min so only (qt,) survives per tile:
+# the matmul dominates, the reduce rides the VPU in its shadow.
+def _bound(a, b):
+    def tile(q):
+        s = jax.lax.dot_general(q, b, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        return jnp.min(s, axis=1)
+    return jax.lax.map(tile, a.reshape(-1, 2048, a.shape[1]))
+
+bound_fn = jax.jit(_bound)
 t, _ = timed(lambda: bound_fn(q8, vq), passes=3)
 out["legs"]["mxu_bound"] = {"ms": round(t * 1000, 2)}
 print("mxu_bound", out["legs"]["mxu_bound"], flush=True)

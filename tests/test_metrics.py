@@ -200,13 +200,23 @@ def test_int8_residual_rerank(corpus, world, metric):
     q, users, masks = _workload(corpus, world, 16, seed=3)
     k = 5
     results = {}
-    for mode in ("dequant", "residual", "f32"):
+    for mode in ("dequant", "residual", "residual4", "f32"):
         idx = Int8FlatIndex(arena, None, query_batch=32, q_tile=16,
                             block_rows=256, group=8, rerank=True,
                             rerank_mode=mode)
         results[mode] = idx.search(q, masks, k)
     d_res, i_res = results["residual"]
     d_f32, i_f32 = results["f32"]
+    # the nibble wire (~12-bit rebuild, half the bytes) must also track
+    # the f32-shipped leg on well-separated synthetic data
+    d_r4, i_r4 = results["residual4"]
+    agree4 = np.mean([
+        len(set(a[a >= 0].tolist()) & set(b[b >= 0].tolist())) / k
+        for a, b in zip(i_r4, i_f32)])
+    assert agree4 >= 0.95, f"{metric}: residual4 vs f32 agreement {agree4}"
+    fin4 = np.isfinite(d_f32) & np.isfinite(d_r4)
+    np.testing.assert_allclose(d_r4[fin4], d_f32[fin4], rtol=2e-2,
+                               atol=2e-2)
     # residual's rebuilt query is within 1/(254*qs) per component of the
     # true one: its reranked top-k must essentially coincide with the
     # f32-shipped leg on well-separated synthetic data

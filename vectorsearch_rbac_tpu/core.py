@@ -220,6 +220,31 @@ class ArenaQuant:
                 axis=1)
         return r8
 
+    def query_residual4(self, q: np.ndarray, q8: np.ndarray,
+                        inv: np.ndarray, cosine: bool = False) -> np.ndarray:
+        """Nibble-packed residual wire: (Q, d_pad // 2) uint8, each byte
+        two 4-bit residual codes (components 2j low nibble, 2j+1 high),
+        code = clip(round(r * 15), -8, 7) + 8 with r = q*qs - q8 in
+        [-0.5, 0.5]. Device rebuild: q8 + (code - 8)/15 — a ~12-bit
+        fixed-point query at HALF the residual8 wire's bytes (384 vs 768
+        at 768-d). Precision sits between f16's 11-bit mantissa and
+        residual8's ~16 bits; the upload-bound 768-d pass trades those
+        unused bits for wire (round-5, results/cohere_768d_1m_r5.json)."""
+        qf = np.asarray(q, dtype=np.float32)
+        if cosine:
+            qf = qf / np.maximum(
+                np.linalg.norm(qf, axis=1, keepdims=True), 1e-30)
+        qs = 1.0 / (np.asarray(inv, dtype=np.float32) * self.scale)
+        d = qf.shape[1]
+        d_pad = q8.shape[1]
+        r = qf * qs[:, None] - q8[:, :d].astype(np.float32)
+        code = (np.clip(np.rint(r * 15.0), -8, 7) + 8).astype(np.uint8)
+        if d < d_pad:
+            code = np.concatenate(
+                [code, np.full((code.shape[0], d_pad - d), 8, np.uint8)],
+                axis=1)
+        return (code[:, 0::2] | (code[:, 1::2] << 4)).astype(np.uint8)
+
     def quantize_masks(self, masks: np.ndarray,
                        num_roles: Optional[int] = None) -> np.ndarray:
         """(Q, W) uint32 bitmasks -> (Q, R_pad) int8 one-hot."""

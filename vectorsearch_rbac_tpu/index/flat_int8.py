@@ -71,17 +71,18 @@ def _lazy_jits():
     @functools.partial(
         jax.jit,
         static_argnames=("batch", "d", "w", "r_pad", "use_table",
-                         "has_bias", "dq", "qhalf", "dres",
+                         "has_bias", "dq", "qhalf", "dres", "res4",
                          "k", "kk", "q_tile", "block_rows", "group",
                          "merge", "interpret", "metric", "kernel_metric",
                          "wide", "id_bits", "wire", "rerank",
-                         "score_shift", "mask_sb"))
+                         "score_shift", "mask_sb", "d_chunk"))
     def _scan_pack(buf_all, bidx, vq, nq_, r8, row_map, inv, mirror_vec,
                    mirror_norms, q_dequant, center, user_table,
                    batch, d, w, r_pad, use_table, has_bias, dq, k, kk,
                    q_tile, block_rows, group, merge, interpret, metric,
                    kernel_metric, wide, id_bits, wire, rerank,
-                   score_shift=0, qhalf=False, dres=0, mask_sb=0):
+                   score_shift=0, qhalf=False, dres=0, mask_sb=0,
+                   d_chunk=0, res4=False):
         """ONE dispatch per batch: slice this batch's packed uint8 row out
         of the pass buffer (int8 queries + uint16 user ids OR uint32 mask
         bitsets [+ bias] [+ f32 queries]), unpack, run the fused kernel,
@@ -123,8 +124,14 @@ def _lazy_jits():
             inv_b = jax.lax.bitcast_convert_type(
                 buf[off:off + batch * 4].reshape(batch, 4), jnp.float32)
             off += batch * 4
-        r8_b = None
-        if dres:
+        r8_b = r4_b = None
+        if dres and res4:
+            # nibble RESIDUAL wire: dres bytes carry 2*dres 4-bit codes
+            # (component 2j low nibble, 2j+1 high) — a ~12-bit query at
+            # half the residual8 bytes (core.ArenaQuant.query_residual4)
+            r4_b = buf[off:off + batch * dres].reshape(batch, dres)
+            off += batch * dres
+        elif dres:
             # int8 RESIDUAL wire: one extra byte per component upgrades the
             # kernel's int8 query to ~16-bit fixed point for the rerank
             # (q8 + r8/254) — finer than f16 at half of f16's extra bytes
@@ -161,6 +168,8 @@ def _lazy_jits():
             extra["mask_sub_block"] = mask_sb
 
         kern = int8_masked_topk_wide if wide else int8_masked_topk
+        if wide and d_chunk:
+            extra["d_chunk"] = d_chunk
         dd, ii = kern(
             q8b, qnb, vq, nq_, r8, m8b,
             inv if inv_b is None else inv_b, kk,
@@ -186,6 +195,14 @@ def _lazy_jits():
                 q16 = (q8b.astype(jnp.float32)
                        + r8_b.astype(jnp.float32) * jnp.float32(1 / 254.0))
                 qf = (q16 * (inv_b * q_dequant)[:, None]
+                      )[:, : mirror_vec.shape[1]]
+            elif r4_b is not None:
+                # nibble-residual rebuild: q8 + (code - 8)/15
+                lo = (r4_b & 0xF).astype(jnp.float32) - 8.0
+                hi = (r4_b >> 4).astype(jnp.float32) - 8.0
+                r = jnp.stack([lo, hi], axis=2).reshape(batch, 2 * dres)
+                q12 = q8b.astype(jnp.float32) + r * jnp.float32(1 / 15.0)
+                qf = (q12 * (inv_b * q_dequant)[:, None]
                       )[:, : mirror_vec.shape[1]]
             else:
                 # dequantized-query rerank: rebuild ~the float query from
@@ -334,6 +351,7 @@ class Int8FlatIndex:
         d_pad = q.vectors_q.shape[1]
         unit = d_pad + q.r_pad
         self.wide = d_pad > 256
+        self.d_chunk = 0
         if self.wide:
             self.block_rows = min(self.block_rows, 2048)
             self.q_tile = min(self.q_tile, 512)
@@ -341,6 +359,19 @@ class Int8FlatIndex:
             while (self.block_rows > 512
                    and self.block_rows * self.q_tile * 4 > 4_500_000):
                 self.block_rows //= 2
+            # d_chunk: the LARGEST 128-multiple dividing d_pad whose
+            # (block_rows, d_chunk) x-block fits the per-buffer budget.
+            # At 768-d/br2048 that is the whole row (nk=1): the single-
+            # chunk sweep measured 29.9 ms vs the old dc256 default's
+            # 42.8 ms per 16k q x 262k rows — the d-split grid re-fetched
+            # the accumulator state every chunk step for nothing
+            # (results/r5_wide_roofline.json). The split only engages
+            # when d is too wide for VMEM (d_pad * block_rows > budget).
+            dc = min(d_pad, max(128, 3_700_000 // self.block_rows
+                                // 128 * 128))
+            while d_pad % dc:
+                dc -= 128
+            self.d_chunk = dc
         else:
             while self.block_rows > 1024 and self.block_rows * unit > 3_700_000:
                 self.block_rows //= 2
@@ -375,9 +406,13 @@ class Int8FlatIndex:
         # shipped f32 0.9963; no rerank 0.9765. The BATCH-scale dequant
         # rebuild capped recall at 0.9839 — one outlier component in the
         # batch coarsened every query's rebuild — which is why
-        # quantize_queries_ip keeps per-query scales. Round 4 adds the
+        # quantize_queries_ip keeps per-query scales. Round 4 added the
         # int8 RESIDUAL wire (+1 B/component): ~16-bit fixed-point rebuild,
-        # finer than f16 at half its extra bytes — the wide-d default.
+        # finer than f16 at half its extra bytes. Round 5's NIBBLE wire
+        # (+0.5 B/component, ~12-bit rebuild) is the wide-d default: the
+        # extra 4 bits were recall-saturated (0.9924 vs 0.9923 measured
+        # interleaved, results/cohere_768d_1m_r5.json) while the halved
+        # residual bytes buy +23% QPS on the upload-bound pass.
         if rerank_mode is None:
             if rerank_dequant is not None:
                 rerank_mode = "dequant" if rerank_dequant else "f16"
@@ -386,11 +421,14 @@ class Int8FlatIndex:
                 # quantizer (|r| <= 0.5 guaranteed); l2's GLOBAL query
                 # scale can clip out-of-range components, which the
                 # +-0.5-range residual cannot recover
-                rerank_mode = "residual" if self.metric != "l2" else "dequant"
+                rerank_mode = ("residual4" if self.metric != "l2"
+                               else "dequant")
             else:
                 rerank_mode = "f16"
-        assert rerank_mode in ("dequant", "residual", "f16", "f32")
-        assert not (rerank_mode == "residual" and self.metric == "l2"), \
+        assert rerank_mode in ("dequant", "residual", "residual4", "f16",
+                               "f32")
+        assert not (rerank_mode in ("residual", "residual4")
+                    and self.metric == "l2"), \
             "residual rerank needs per-query scales (ip/cosine only)"
         self.rerank_mode = rerank_mode
         self.rerank_dequant = rerank_mode == "dequant"
@@ -611,8 +649,12 @@ class Int8FlatIndex:
         qf_ship = (np.ascontiguousarray(qf, dtype=np.float16)
                    if qhalf else qf)
         r8_ship = None
+        res4 = self.rerank_mode == "residual4"
         if self.rerank and self.rerank_mode == "residual":
             r8_ship = quant.query_residual8(
+                qf, q8, inv_arr, cosine=self.metric == "cosine")
+        elif self.rerank and res4:
+            r8_ship = quant.query_residual4(
                 qf, q8, inv_arr, cosine=self.metric == "cosine")
 
         def _col(arr, width, s):
@@ -633,7 +675,7 @@ class Int8FlatIndex:
                 seg.append(_col(bias.astype(np.float32), 4, s))
                 seg.append(_col(inv_arr, 4, s))
             if r8_ship is not None:
-                seg.append(_col(r8_ship, d_cols, s))
+                seg.append(_col(r8_ship, r8_ship.shape[1], s))
             if ship_qf:
                 seg.append(_col(qf_ship, (2 if qhalf else 4) * qf.shape[1],
                                 s))
@@ -676,7 +718,8 @@ class Int8FlatIndex:
                 batch=bs, d=d_cols, w=w, r_pad=r_pad,
                 use_table=use_table, has_bias=has_bias,
                 dq=qf.shape[1] if ship_qf else 0, qhalf=qhalf,
-                dres=d_cols if r8_ship is not None else 0,
+                dres=r8_ship.shape[1] if r8_ship is not None else 0,
+                res4=res4,
                 k=k, kk=kk, q_tile=q_tile,
                 block_rows=self.block_rows, group=self.group,
                 merge=self.merge, interpret=interp, metric=self.metric,
@@ -684,6 +727,7 @@ class Int8FlatIndex:
                 id_bits=self._id_bits, wire=wire_fmt, rerank=self.rerank,
                 score_shift=self.score_shift,
                 mask_sb=sb if dedup_src is not None else 0,
+                d_chunk=self.d_chunk,
             )
             fut = pool.submit(np.asarray, wire) if pool is not None else wire
             pending.append((s, min(s + bs, nq), fut))
